@@ -1,0 +1,330 @@
+"""Collision environments: host-side builder + packed device pytree.
+
+The reference stores an environment as a struct-of-arrays of shape lists with
+SIMD-broadcast members (reference: src/impl/vamp/collision/environment.hh) and
+relies on sorted early-exit during checks (collision/validity.hh:61-67). On
+TPU, early exit buys nothing — the idiomatic equivalent is a *padded, masked*
+struct-of-arrays pytree with fixed capacities, so one fused kernel checks all
+robot spheres against all shapes with a mask-reduce.
+
+`Environment` mirrors the reference's Python builder API (add_sphere,
+add_capsule, add_cuboid, add_heightfield, add_pointcloud, attach/detach);
+`.pack()` produces the static-shape `PackedEnvironment` consumed by kernels.
+Capacities are rounded up to multiples of 8 to bound the number of distinct
+compiled shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops.math import rpy_to_matrix_np
+
+
+def _round_capacity(n: int, quantum: int = 8) -> int:
+    return max(quantum, -(-n // quantum) * quantum)
+
+
+# ---------------------------------------------------------------------------
+# Shape records (host side)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Sphere:
+    center: Sequence[float]
+    radius: float
+    name: str = ""
+
+    @property
+    def position(self):  # reference binding exposes .position
+        return np.asarray(self.center, np.float32)
+
+
+@dataclass
+class Capsule:
+    """Capsule given by endpoint + vector, like the reference's Cylinder
+    (reference: collision/shapes.hh:133-220). Use the factory helpers to build
+    from center/orientation or endpoints."""
+
+    x1: np.ndarray  # (3,)
+    xv: np.ndarray  # (3,)
+    radius: float
+    name: str = ""
+
+    @staticmethod
+    def from_endpoints(p1, p2, radius, name=""):
+        p1 = np.asarray(p1, np.float32)
+        return Capsule(p1, np.asarray(p2, np.float32) - p1, float(radius), name)
+
+    @staticmethod
+    def from_center(center, euler_xyz, radius, length, name=""):
+        R = rpy_to_matrix_np(euler_xyz)
+        axis = R @ np.array([0.0, 0.0, 1.0], np.float32)
+        center = np.asarray(center, np.float32)
+        return Capsule(center - axis * (length / 2), axis * length, float(radius), name)
+
+
+Cylinder = Capsule  # reference aliases these (collision/shapes.hh:223)
+
+
+@dataclass
+class Cuboid:
+    """Oriented box: center, three unit axes, half-extents
+    (reference: collision/shapes.hh:31-127)."""
+
+    center: np.ndarray
+    axes: np.ndarray  # (3,3), rows are unit axes
+    half_extents: np.ndarray  # (3,)
+    name: str = ""
+
+    @staticmethod
+    def from_euler(center, euler_xyz, half_extents, name=""):
+        R = rpy_to_matrix_np(euler_xyz)
+        return Cuboid(
+            np.asarray(center, np.float32), R.T.astype(np.float32),
+            np.asarray(half_extents, np.float32), name,
+        )
+
+
+@dataclass
+class HeightField:
+    """Height image over the XY plane (reference: collision/shapes.hh:249-312).
+
+    data is row-major (yd, xd); world height at (x, y) is zs * data[iy, ix] + z
+    with ix = floor(clamp(xs * (x0 - x) + xd/2, 0, xd - 1)).
+    """
+
+    origin: np.ndarray  # (3,) offset
+    scale: np.ndarray  # (3,) xs, ys, zs
+    data: np.ndarray  # (yd, xd) float32
+    name: str = ""
+
+
+@dataclass
+class Attachment:
+    """Spheres rigidly attached to the end effector
+    (reference: collision/attachments.hh). `rot`/`pos` give the attachment
+    frame relative to the ee frame; sphere centers are in that frame."""
+
+    pos: np.ndarray  # (3,)
+    rot: np.ndarray  # (3,3) relative rotation
+    centers: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float32))
+    radii: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+
+    @staticmethod
+    def from_quat(pos, quat_xyzw):
+        x, y, z, w = [float(v) for v in quat_xyzw]
+        R = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ],
+            np.float32,
+        )
+        return Attachment(pos=np.asarray(pos, np.float32), rot=R)
+
+    def add_sphere(self, center, radius):
+        self.centers = np.concatenate(
+            [self.centers, np.asarray(center, np.float32).reshape(1, 3)], axis=0
+        )
+        self.radii = np.concatenate([self.radii, np.asarray([radius], np.float32)])
+
+
+# ---------------------------------------------------------------------------
+# Packed device representation
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PackedEnvironment:
+    """Static-capacity SoA environment pytree (all f32 except masks).
+
+    Empty slots are masked out; padded shape parameters are chosen so padded
+    entries can never collide (far-away centers), which keeps the kernels free
+    of NaN-producing math on padding.
+    """
+
+    sphere_xyzr: jnp.ndarray  # (NS, 4)
+    sphere_mask: jnp.ndarray  # (NS,) bool
+    capsule_p1: jnp.ndarray  # (NC, 3)
+    capsule_v: jnp.ndarray  # (NC, 3)
+    capsule_r: jnp.ndarray  # (NC,)
+    capsule_rdv: jnp.ndarray  # (NC,) 1/|v|^2
+    capsule_mask: jnp.ndarray  # (NC,) bool
+    cuboid_center: jnp.ndarray  # (NB, 3)
+    cuboid_axes: jnp.ndarray  # (NB, 3, 3)
+    cuboid_half: jnp.ndarray  # (NB, 3)
+    cuboid_mask: jnp.ndarray  # (NB,) bool
+    hf_data: jnp.ndarray  # (NH, HY, HX)
+    hf_origin: jnp.ndarray  # (NH, 3)
+    hf_scale: jnp.ndarray  # (NH, 3)
+    hf_mask: jnp.ndarray  # (NH,) bool
+    attach_centers: jnp.ndarray  # (NA, 3) in attachment frame
+    attach_radii: jnp.ndarray  # (NA,)
+    attach_mask: jnp.ndarray  # (NA,) bool
+    attach_pos: jnp.ndarray  # (3,) attachment frame rel. ee
+    attach_rot: jnp.ndarray  # (3,3)
+    # CAPT pointcloud arrays are added by ops/capt.py when present.
+
+    @property
+    def has_attachments(self) -> bool:
+        return bool(self.attach_mask.shape[0])
+
+
+FAR = 1.0e6  # padded shapes live far away with tiny radius
+
+
+class Environment:
+    """Host-side environment builder mirroring the reference Python API
+    (reference: bindings/environment.cc)."""
+
+    def __init__(self):
+        self.spheres: List[Sphere] = []
+        self.capsules: List[Capsule] = []
+        self.cuboids: List[Cuboid] = []
+        self.heightfields: List[HeightField] = []
+        self.attachment: Optional[Attachment] = None
+        self.pointclouds: List = []  # CAPT objects (ops/capt.py)
+
+    # -- builder API -------------------------------------------------------
+    def add_sphere(self, sphere: Sphere):
+        self.spheres.append(sphere)
+
+    def add_capsule(self, capsule: Capsule):
+        self.capsules.append(capsule)
+
+    add_cylinder = add_capsule
+
+    def add_cuboid(self, cuboid: Cuboid):
+        self.cuboids.append(cuboid)
+
+    def add_heightfield(self, hf: HeightField):
+        self.heightfields.append(hf)
+
+    def attach(self, attachment: Attachment):
+        self.attachment = attachment
+
+    def detach(self):
+        self.attachment = None
+
+    def add_pointcloud(self, points, r_min: float, r_max: float, point_radius: float) -> float:
+        """Build a CAPT over `points` and add it. Returns build time (ns),
+        mirroring reference bindings/environment.cc:148-159."""
+        import time
+
+        from .ops.capt import build_capt
+
+        start = time.perf_counter_ns()
+        self.pointclouds.append(build_capt(np.asarray(points, np.float32), r_min, r_max, point_radius))
+        return float(time.perf_counter_ns() - start)
+
+    def sort(self):
+        """No-op for API parity: sorted early-exit (reference
+        collision/environment.hh:40-66) has no TPU equivalent — the packed
+        kernel mask-reduces over every shape."""
+
+    # -- packing -----------------------------------------------------------
+    def pack(self, quantum: int = 8) -> PackedEnvironment:
+        ns = _round_capacity(len(self.spheres), quantum)
+        nc = _round_capacity(len(self.capsules), quantum)
+        nb = _round_capacity(len(self.cuboids), quantum)
+
+        sphere_xyzr = np.full((ns, 4), FAR, np.float32)
+        sphere_xyzr[:, 3] = 0.0
+        sphere_mask = np.zeros(ns, bool)
+        for i, s in enumerate(self.spheres):
+            sphere_xyzr[i, :3] = np.asarray(s.center, np.float32)
+            sphere_xyzr[i, 3] = s.radius
+            sphere_mask[i] = True
+
+        capsule_p1 = np.full((nc, 3), FAR, np.float32)
+        capsule_v = np.zeros((nc, 3), np.float32)
+        capsule_v[:, 2] = 1.0
+        capsule_r = np.zeros(nc, np.float32)
+        capsule_rdv = np.ones(nc, np.float32)
+        capsule_mask = np.zeros(nc, bool)
+        for i, c in enumerate(self.capsules):
+            capsule_p1[i] = c.x1
+            capsule_v[i] = c.xv
+            capsule_r[i] = c.radius
+            capsule_rdv[i] = 1.0 / max(float(np.dot(c.xv, c.xv)), 1e-12)
+            capsule_mask[i] = True
+
+        cuboid_center = np.full((nb, 3), FAR, np.float32)
+        cuboid_axes = np.tile(np.eye(3, dtype=np.float32), (nb, 1, 1))
+        cuboid_half = np.zeros((nb, 3), np.float32)
+        cuboid_mask = np.zeros(nb, bool)
+        for i, c in enumerate(self.cuboids):
+            cuboid_center[i] = c.center
+            cuboid_axes[i] = c.axes
+            cuboid_half[i] = c.half_extents
+            cuboid_mask[i] = True
+
+        nh = len(self.heightfields)
+        if nh:
+            hy = max(h.data.shape[0] for h in self.heightfields)
+            hx = max(h.data.shape[1] for h in self.heightfields)
+            hf_data = np.full((nh, hy, hx), -FAR, np.float32)
+            hf_origin = np.zeros((nh, 3), np.float32)
+            hf_scale = np.ones((nh, 3), np.float32)
+            hf_mask = np.ones(nh, bool)
+            for i, h in enumerate(self.heightfields):
+                hf_data[i, : h.data.shape[0], : h.data.shape[1]] = h.data
+                hf_origin[i] = h.origin
+                hf_scale[i] = h.scale
+        else:
+            hf_data = np.zeros((0, 1, 1), np.float32)
+            hf_origin = np.zeros((0, 3), np.float32)
+            hf_scale = np.ones((0, 3), np.float32)
+            hf_mask = np.zeros(0, bool)
+
+        att = self.attachment
+        na = 0 if att is None else _round_capacity(len(att.radii), quantum) if len(att.radii) else 0
+        attach_centers = np.full((na, 3), FAR, np.float32)
+        attach_radii = np.zeros(na, np.float32)
+        attach_mask = np.zeros(na, bool)
+        attach_pos = np.zeros(3, np.float32)
+        attach_rot = np.eye(3, dtype=np.float32)
+        if att is not None and len(att.radii):
+            k = len(att.radii)
+            attach_centers[:k] = att.centers
+            attach_radii[:k] = att.radii
+            attach_mask[:k] = True
+            attach_pos = att.pos.astype(np.float32)
+            attach_rot = att.rot.astype(np.float32)
+
+        return PackedEnvironment(
+            sphere_xyzr=jnp.asarray(sphere_xyzr),
+            sphere_mask=jnp.asarray(sphere_mask),
+            capsule_p1=jnp.asarray(capsule_p1),
+            capsule_v=jnp.asarray(capsule_v),
+            capsule_r=jnp.asarray(capsule_r),
+            capsule_rdv=jnp.asarray(capsule_rdv),
+            capsule_mask=jnp.asarray(capsule_mask),
+            cuboid_center=jnp.asarray(cuboid_center),
+            cuboid_axes=jnp.asarray(cuboid_axes),
+            cuboid_half=jnp.asarray(cuboid_half),
+            cuboid_mask=jnp.asarray(cuboid_mask),
+            hf_data=jnp.asarray(hf_data),
+            hf_origin=jnp.asarray(hf_origin),
+            hf_scale=jnp.asarray(hf_scale),
+            hf_mask=jnp.asarray(hf_mask),
+            attach_centers=jnp.asarray(attach_centers),
+            attach_radii=jnp.asarray(attach_radii),
+            attach_mask=jnp.asarray(attach_mask),
+            attach_pos=jnp.asarray(attach_pos),
+            attach_rot=jnp.asarray(attach_rot),
+        )
+
+
+def empty_packed_environment() -> PackedEnvironment:
+    return Environment().pack()

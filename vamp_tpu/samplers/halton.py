@@ -1,0 +1,106 @@
+"""Deterministic vectorized Halton sampler (reference: random/halton.hh).
+
+Bit-compatible redesign of the reference's incremental Halton: per-dimension
+counters (n, d) over prime bases 3..59, updated with blend masks; bases rotate
+after 1M iterations to preserve f32 precision (halton.hh:11, 51-57, 76-82).
+Determinism is the reproducibility contract of the whole framework: the same
+sample stream ⇒ the same tree growth ⇒ the same paths (SURVEY §2.4).
+
+State is a pytree, so planners can carry it through `lax.while_loop` and vmap
+it across batched problems.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PRIMES = np.array(
+    [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59], np.float32
+)
+
+MAX_ITERATIONS = 1_000_000  # reference: halton.hh:12
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class HaltonState:
+    b: jnp.ndarray  # (dim,) current bases
+    n: jnp.ndarray  # (dim,) numerators
+    d: jnp.ndarray  # (dim,) denominators
+    iterations: jnp.ndarray  # () int32
+
+
+def halton_init(dim: int, bases=None) -> HaltonState:
+    if bases is None:
+        if dim > len(PRIMES):
+            raise ValueError(f"dim {dim} exceeds available prime bases")
+        bases = PRIMES[:dim]
+    b = jnp.asarray(bases, jnp.float32)
+    return HaltonState(
+        b=b,
+        n=jnp.zeros(dim, jnp.float32),
+        d=jnp.ones(dim, jnp.float32),
+        iterations=jnp.zeros((), jnp.int32),
+    )
+
+
+def halton_next(state: HaltonState):
+    """One sample in the unit cube. Returns (sample (dim,), new state).
+
+    Mirrors halton.hh:73-103 operation-for-operation (blend = jnp.where).
+    """
+    it = state.iterations + 1
+    rolled = it > MAX_ITERATIONS
+
+    b = jnp.where(rolled, jnp.roll(state.b, -1), state.b)
+    n = jnp.where(rolled, jnp.zeros_like(state.n), state.n)
+    d = jnp.where(rolled, jnp.ones_like(state.d), state.d)
+    it = jnp.where(rolled, jnp.ones((), jnp.int32), it)
+
+    xf = d - n
+    x_eq_1 = xf == 1.0
+    x_neq_1 = ~x_eq_1
+
+    d = jnp.where(x_eq_1, jnp.floor(d * b), d)
+    y = jnp.where(x_neq_1, jnp.floor(d / b), 0.0)
+
+    def cond(carry):
+        _, x_le_y = carry
+        return jnp.any(x_le_y)
+
+    def body(carry):
+        y, x_le_y = carry
+        y = jnp.where(x_le_y, jnp.floor(y / b), y)
+        x_le_y = x_le_y & (xf <= y)
+        return y, x_le_y
+
+    y, _ = jax.lax.while_loop(cond, body, (y, x_neq_1 & (xf <= y)))
+
+    n = jnp.where(x_eq_1, 1.0, jnp.floor((b + 1.0) * y) - xf)
+    sample = n / d
+    return sample, HaltonState(b=b, n=n, d=d, iterations=it)
+
+
+def halton_skip(state: HaltonState, count) -> HaltonState:
+    """Advance the stream by `count` samples (reference RNG.skip)."""
+
+    def body(_, s):
+        _, s = halton_next(s)
+        return s
+
+    return jax.lax.fori_loop(0, count, body, state)
+
+
+def halton_batch(state: HaltonState, count: int):
+    """Materialize `count` samples: returns ((count, dim), new state)."""
+
+    def step(s, _):
+        x, s = halton_next(s)
+        return s, x
+
+    state, xs = jax.lax.scan(step, state, None, length=count)
+    return xs, state
