@@ -1,0 +1,94 @@
+"""Planner settings dataclasses, mirroring the reference's settings structs
+1:1 (reference: planning/rrtc_settings.hh, simplify_settings.hh,
+roadmap.hh:149-196, aorrtc_settings.hh) so harness code ports directly.
+
+All fields are static under jit (they select compiled programs); capacities
+(max_samples etc.) set array sizes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class RRTCSettings:
+    # reference defaults: planning/rrtc_settings.hh:5-20
+    range: float = 2.0
+    dynamic_domain: bool = True
+    radius: float = 4.0
+    alpha: float = 1e-4
+    min_radius: float = 1.0
+    balance: bool = True
+    tree_ratio: float = 1.0
+    max_iterations: int = 100_000
+    max_samples: int = 100_000
+    start_tree_first: bool = True
+
+
+@dataclass(frozen=True)
+class BSplineSettings:
+    # reference: simplify_settings.hh
+    max_steps: int = 5
+    min_change: float = 0.1
+    midpoint_interpolation: float = 0.5
+
+
+@dataclass(frozen=True)
+class ReduceSettings:
+    max_steps: int = 10
+    max_empty_steps: int = 0
+    range_ratio: float = 0.33
+
+
+@dataclass(frozen=True)
+class ShortcutSettings:
+    pass
+
+
+@dataclass(frozen=True)
+class PerturbSettings:
+    max_steps: int = 10
+    max_empty_steps: int = 0
+    perturbation_attempts: int = 10
+    range: float = 0.1
+
+
+# Simplification routine tags (reference: simplify_settings.hh enum).
+BSPLINE, REDUCE, SHORTCUT, PERTURB = "bspline", "reduce", "shortcut", "perturb"
+
+
+@dataclass(frozen=True)
+class SimplifySettings:
+    max_iterations: int = 5
+    interpolate: int = 0
+    operations: Tuple[str, ...] = (SHORTCUT, BSPLINE)  # reference default order
+    bspline: BSplineSettings = field(default_factory=BSplineSettings)
+    reduce: ReduceSettings = field(default_factory=ReduceSettings)
+    shortcut: ShortcutSettings = field(default_factory=ShortcutSettings)
+    perturb: PerturbSettings = field(default_factory=PerturbSettings)
+
+
+@dataclass(frozen=True)
+class RoadmapSettings:
+    # reference: roadmap.hh:149-172
+    max_iterations: int = 100_000
+    max_samples: int = 100_000
+    batch_size: int = 1000
+    # neighbor params: "prm_star" | "fcit_star" | ("constant", k, r)
+    neighbor_params: str = "prm_star"
+    max_neighbors: int = 32  # static cap for the TPU neighbor lists
+    neighbor_radius: float = float("inf")
+
+
+@dataclass(frozen=True)
+class AORRTCSettings:
+    # reference: aorrtc_settings.hh:8-18
+    max_iterations: int = 100_000
+    max_samples: int = 100_000
+    optimize: bool = True
+    cost_bound_resample: bool = True
+    use_phs: bool = True
+    rrtc: RRTCSettings = field(default_factory=RRTCSettings)
+    simplify: SimplifySettings = field(default_factory=SimplifySettings)
