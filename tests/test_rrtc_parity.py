@@ -50,6 +50,32 @@ def env():
     return e.pack()
 
 
+def test_simplify_matches_reference(env):
+    """Default-pipeline simplification (SHORTCUT+BSPLINE) must reproduce the
+    reference's simplified paths exactly (simplify.hh, deterministic ops)."""
+    from vamp_tpu.planners.simplify import make_simplify_batch
+    from vamp_tpu.utils.settings import SimplifySettings
+
+    spec = load_robot("panda")
+    simplify = jax.jit(make_simplify_batch(spec, SimplifySettings(), max_path=256))
+    runs = GOLDEN["runs"]
+    L = len(runs)
+    paths = np.zeros((L, 256, 7), np.float32)
+    lens = np.zeros((L,), np.int32)
+    for i, r in enumerate(runs):
+        p = np.asarray(r["path"], np.float32)
+        paths[i, : len(p)] = p
+        lens[i] = len(p)
+    res = simplify(jnp.asarray(paths), jnp.asarray(lens), env)
+    for i, r in enumerate(runs):
+        L2 = int(res.path_length[i])
+        rp = np.asarray(r["simplified_path"], np.float32)
+        assert L2 == len(rp)
+        np.testing.assert_allclose(np.asarray(res.path[i])[:L2], rp, atol=1e-4)
+        np.testing.assert_allclose(float(res.cost[i]), r["simplified_cost"], atol=1e-3)
+        assert int(res.iterations[i]) == r["simplify_iters"]
+
+
 @pytest.mark.parametrize("run", GOLDEN["runs"], ids=lambda r: f"skip{r['skip']}")
 def test_rrtc_matches_reference(run, solver, env):
     sampler = halton_init(7)

@@ -83,9 +83,90 @@ int main()
             std::printf(i ? ",\n      " : "\n      ");
             print_floats(buf.data(), 7);
         }
+        std::printf("],\n");
+
+        // default-settings simplification on the solved path (deterministic:
+        // SHORTCUT + BSPLINE only; the rng is unused by those routines)
+        planning::SimplifySettings simp;
+        auto simple =
+            planning::simplify<Robot, rake, Robot::resolution>(result.path, env, simp, rng);
+        std::printf("   \"simplified_cost\": %.9g, \"simplify_iters\": %zu,\n",
+                    static_cast<double>(simple.path.cost()), simple.iterations);
+        std::printf("   \"simplified_path\": [");
+        for (std::size_t i = 0; i < simple.path.size(); ++i)
+        {
+            alignas(32) std::array<float, 8> buf{};
+            simple.path[i].to_array(buf.data());
+            std::printf(i ? ",\n      " : "\n      ");
+            print_floats(buf.data(), 7);
+        }
         std::printf("]}");
         first = false;
     }
-    std::printf("\n]}\n");
+    std::printf("\n],");
+
+    // per-op simplification trace for the skip=1000 path (debug parity aid):
+    // replays the simplify driver loop calling shortcut/bspline directly and
+    // dumps the path after each op.
+    {
+        auto rng = std::make_shared<rng::Halton<7>>();
+        for (int i = 0; i < 1000; ++i)
+            rng->next();
+        auto result =
+            planning::RRTC<Robot, rake, Robot::resolution>::solve(start, goal, env, settings, rng);
+        planning::SimplifySettings simp;
+        auto path = result.path;
+        std::printf("\n\"simplify_trace\": [");
+        bool first_op = true;
+        for (int iter = 0; iter < 5; ++iter)
+        {
+            bool any = false;
+            const char *names[2] = {"shortcut", "bspline"};
+            for (int op = 0; op < 2; ++op)
+            {
+                bool changed = (op == 0) ? planning::shortcut_path<Robot, rake, Robot::resolution>(
+                                               path, env, simp.shortcut) :
+                                           planning::smooth_bspline<Robot, rake, Robot::resolution>(
+                                               path, env, simp.bspline);
+                any |= changed;
+                std::printf("%s\n  {\"iter\": %d, \"op\": \"%s\", \"changed\": %s, \"len\": %zu, \"cost\": %.9g, \"path\": [",
+                            first_op ? "" : ",", iter, names[op], changed ? "true" : "false",
+                            path.size(), static_cast<double>(path.cost()));
+                for (std::size_t i = 0; i < path.size(); ++i)
+                {
+                    alignas(32) std::array<float, 8> buf{};
+                    path[i].to_array(buf.data());
+                    std::printf("%s", i ? "," : "");
+                    print_floats(buf.data(), 7);
+                }
+                std::printf("]}");
+                first_op = false;
+            }
+            if (!any)
+                break;
+        }
+        std::printf("\n]");
+    }
+
+    // -- single-core timing baseline on this machine ------------------------
+    // (mirrors sphere_cage_example.py's benchmark loop; used by bench.py as
+    // the vs_baseline denominator on identical hardware)
+    {
+        auto rng = std::make_shared<rng::Halton<7>>();
+        const int n_trials = 200;
+        double total_ns = 0.0;
+        std::size_t solved = 0;
+        for (int t = 0; t < n_trials; ++t)
+        {
+            auto result = planning::RRTC<Robot, rake, Robot::resolution>::solve(
+                start, goal, env, settings, rng);
+            total_ns += static_cast<double>(result.nanoseconds);
+            solved += result.path.size() >= 2;
+        }
+        std::printf(
+            ",\n\"bench\": {\"trials\": %d, \"solved\": %zu, \"mean_us\": %.3f, \"solves_per_s\": %.1f}\n",
+            n_trials, solved, total_ns / n_trials / 1e3, 1e9 * n_trials / total_ns);
+    }
+    std::printf("}\n");
     return 0;
 }

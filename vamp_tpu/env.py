@@ -177,7 +177,8 @@ class PackedEnvironment:
 
     @property
     def has_attachments(self) -> bool:
-        return bool(self.attach_mask.shape[0])
+        # slot axis is last (leading axes may be lane batches)
+        return bool(self.attach_mask.shape[-1])
 
 
 FAR = 1.0e6  # padded shapes live far away with tiny radius

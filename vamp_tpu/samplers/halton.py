@@ -28,10 +28,17 @@ MAX_ITERATIONS = 1_000_000  # reference: halton.hh:12
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class HaltonState:
-    b: jnp.ndarray  # (dim,) current bases
-    n: jnp.ndarray  # (dim,) numerators
-    d: jnp.ndarray  # (dim,) denominators
-    iterations: jnp.ndarray  # () int32
+    """Axis 0 is the dimension axis; any trailing axes are batch lanes.
+
+    Keeping the batch MINOR (state arrays (dim, L) rather than (L, dim)) lets
+    batched planners advance L streams per step at full VPU lane utilization
+    without vmap (which would put L major).
+    """
+
+    b: jnp.ndarray  # (dim, *batch) current bases
+    n: jnp.ndarray  # (dim, *batch) numerators
+    d: jnp.ndarray  # (dim, *batch) denominators
+    iterations: jnp.ndarray  # (*batch,) int32
 
 
 def halton_init(dim: int, bases=None) -> HaltonState:
@@ -48,18 +55,30 @@ def halton_init(dim: int, bases=None) -> HaltonState:
     )
 
 
+def halton_init_batch(dim: int, batch: int) -> HaltonState:
+    """L independent streams, batch-minor: arrays (dim, L)."""
+    s = halton_init(dim)
+    return HaltonState(
+        b=jnp.broadcast_to(s.b[:, None], (dim, batch)),
+        n=jnp.zeros((dim, batch), jnp.float32),
+        d=jnp.ones((dim, batch), jnp.float32),
+        iterations=jnp.zeros((batch,), jnp.int32),
+    )
+
+
 def halton_next(state: HaltonState):
-    """One sample in the unit cube. Returns (sample (dim,), new state).
+    """One sample in the unit cube. Returns (sample (dim, *batch), new state).
 
     Mirrors halton.hh:73-103 operation-for-operation (blend = jnp.where).
     """
     it = state.iterations + 1
     rolled = it > MAX_ITERATIONS
+    rolled_d = rolled[None] if state.b.ndim > 1 else rolled
 
-    b = jnp.where(rolled, jnp.roll(state.b, -1), state.b)
-    n = jnp.where(rolled, jnp.zeros_like(state.n), state.n)
-    d = jnp.where(rolled, jnp.ones_like(state.d), state.d)
-    it = jnp.where(rolled, jnp.ones((), jnp.int32), it)
+    b = jnp.where(rolled_d, jnp.roll(state.b, -1, axis=0), state.b)
+    n = jnp.where(rolled_d, jnp.zeros_like(state.n), state.n)
+    d = jnp.where(rolled_d, jnp.ones_like(state.d), state.d)
+    it = jnp.where(rolled, jnp.ones_like(it), it)
 
     xf = d - n
     x_eq_1 = xf == 1.0
@@ -93,6 +112,27 @@ def halton_skip(state: HaltonState, count) -> HaltonState:
         return s
 
     return jax.lax.fori_loop(0, count, body, state)
+
+
+def halton_skip_batch(state: HaltonState, counts) -> HaltonState:
+    """Advance lane i of a batched state by counts[i] samples."""
+    max_count = jnp.max(counts)
+
+    def body(i, s):
+        _, s2 = halton_next(s)
+        live = i < counts  # (L,)
+        return HaltonState(
+            b=jnp.where(live[None], s2.b, s.b),
+            n=jnp.where(live[None], s2.n, s.n),
+            d=jnp.where(live[None], s2.d, s.d),
+            iterations=jnp.where(live, s2.iterations, s.iterations),
+        )
+
+    return jax.lax.while_loop(
+        lambda c: c[0] < max_count,
+        lambda c: (c[0] + 1, body(c[0], c[1])),
+        (jnp.int32(0), state),
+    )[1]
 
 
 def halton_batch(state: HaltonState, count: int):

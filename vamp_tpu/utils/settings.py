@@ -29,17 +29,18 @@ class RRTCSettings:
 
 @dataclass(frozen=True)
 class BSplineSettings:
-    # reference: simplify_settings.hh
-    max_steps: int = 5
+    # reference defaults: simplify_settings.hh:15-20
+    max_steps: int = 1
     min_change: float = 0.1
     midpoint_interpolation: float = 0.5
 
 
 @dataclass(frozen=True)
 class ReduceSettings:
+    # reference defaults: simplify_settings.hh:22-27
     max_steps: int = 10
-    max_empty_steps: int = 0
-    range_ratio: float = 0.33
+    max_empty_steps: int = 5
+    range_ratio: float = 0.5
 
 
 @dataclass(frozen=True)
@@ -49,9 +50,10 @@ class ShortcutSettings:
 
 @dataclass(frozen=True)
 class PerturbSettings:
+    # reference defaults: simplify_settings.hh:33-39
     max_steps: int = 10
-    max_empty_steps: int = 0
-    perturbation_attempts: int = 10
+    max_empty_steps: int = 5
+    perturbation_attempts: int = 5
     range: float = 0.1
 
 
