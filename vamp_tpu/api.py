@@ -1,0 +1,504 @@
+"""Reference-compatible Python surface.
+
+Mirrors the reference's `vamp` package API (src/vamp/__init__.py,
+bindings/common.hh init_robot) so harness code ports directly:
+
+    import vamp_tpu as vamp
+    module, planner, plan_settings, simp_settings = \
+        vamp.configure_robot_and_planner_with_kwargs("panda", "rrtc")
+    sampler = module.halton()
+    result = planner(a, b, env, plan_settings, sampler)
+    simple = module.simplify(result.path, env, simp_settings, sampler)
+
+Single-problem calls route through the batched jitted solvers (L=1); the
+`*_batch` variants expose the TPU-native throughput path. Compiled solvers
+cache on (robot, settings, problem shape) keys.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, replace
+from functools import lru_cache
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .env import Attachment, Capsule, Cuboid, Cylinder, Environment, HeightField, Sphere
+from .ops.fkcc_bm import make_fkcc, make_sphere_fk_bm
+from .robots.descriptions import (
+    DEFAULT_ITERATIONS,
+    POINT_RADIUS,
+    ROBOT_JOINTS,
+    ROBOT_NAMES,
+    ROBOT_RRT_RANGES,
+    load_robot,
+)
+from .robots.spec import RobotSpec, make_eefk
+from .samplers.halton import (
+    HaltonState,
+    halton_init,
+    halton_next,
+    halton_skip,
+)
+from .utils.settings import (
+    AORRTCSettings,
+    BSplineSettings,
+    PerturbSettings,
+    ReduceSettings,
+    RoadmapSettings,
+    RRTCSettings,
+    ShortcutSettings,
+    SimplifySettings,
+)
+
+
+@dataclass
+class PlanningResult:
+    """Host-side result mirroring reference PlanningResult
+    (planning/plan.hh:171-179; solved = len(path) >= 2 per bindings)."""
+
+    path: np.ndarray  # (n, dim)
+    cost: float
+    nanoseconds: int
+    iterations: int
+    size: List[int]
+
+    @property
+    def solved(self) -> bool:
+        return len(self.path) >= 2
+
+    def path_cost(self) -> float:
+        if len(self.path) < 2:
+            return 0.0
+        return float(np.linalg.norm(np.diff(self.path, axis=0), axis=1).sum())
+
+
+class HaltonSampler:
+    """Stateful wrapper mirroring the reference RNG binding (reset/skip/next)."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self.state = halton_init(dim)
+
+    def reset(self):
+        self.state = halton_init(self.dim)
+
+    def skip(self, n: int):
+        if n:
+            self.state = jax.jit(halton_skip, static_argnums=1)(self.state, int(n))
+
+    def next(self) -> np.ndarray:
+        x, self.state = jax.jit(halton_next)(self.state)
+        return np.asarray(x)
+
+
+def _as_batch_sampler(sampler: Optional[HaltonSampler], dim: int) -> Optional[HaltonState]:
+    if sampler is None:
+        return None
+    s = sampler.state
+    return HaltonState(
+        b=s.b[:, None], n=s.n[:, None], d=s.d[:, None], iterations=s.iterations[None]
+    )
+
+
+class RobotModule:
+    """Per-robot API object (the analogue of `vamp.panda` etc.)."""
+
+    def __init__(self, name: str, spec: Optional[RobotSpec] = None):
+        self.name = name
+        self.spec = spec if spec is not None else load_robot(name)
+        self._fkcc = jax.jit(make_fkcc(self.spec))
+        self._eefk = jax.jit(make_eefk(self.spec))
+        fk_bm = make_sphere_fk_bm(self.spec)
+        self._fk = jax.jit(lambda q: fk_bm(q[:, None]))
+
+    # -- introspection (reference init_robot surface) -----------------------
+    def dimension(self) -> int:
+        return self.spec.dimension
+
+    def resolution(self) -> int:
+        return self.spec.resolution
+
+    def n_spheres(self) -> int:
+        return self.spec.n_spheres
+
+    def space_measure(self) -> float:
+        return self.spec.space_measure()
+
+    # -- kernels ------------------------------------------------------------
+    def fk(self, config) -> List[Sphere]:
+        q = jnp.asarray(np.asarray(config, np.float32))
+        xs, ys, zs = self._fk(q)
+        out = []
+        for i in range(self.spec.n_spheres):
+            out.append(
+                Sphere(
+                    [float(xs[i, 0]), float(ys[i, 0]), float(zs[i, 0])],
+                    float(self.spec.sphere_radius[i]),
+                )
+            )
+        return out
+
+    def eefk(self, config) -> np.ndarray:
+        return np.asarray(self._eefk(jnp.asarray(np.asarray(config, np.float32))))
+
+    def validate(self, config, env: Environment) -> bool:
+        """Joint limits + collision (reference Helper::validate_configuration,
+        bindings/common.hh:172-189)."""
+        q = np.asarray(config, np.float32)
+        u = (q - self.spec.lower) / self.spec.range
+        if np.any(u < 0.0) or np.any(u > 1.0):
+            return False
+        packed = _packed(env)
+        return bool(self._fkcc(jnp.asarray(q)[None], packed)[0])
+
+    def distance(self, a, b) -> float:
+        return float(np.linalg.norm(np.asarray(a, np.float32) - np.asarray(b, np.float32)))
+
+    # -- samplers ------------------------------------------------------------
+    def halton(self) -> HaltonSampler:
+        return HaltonSampler(self.spec.dimension)
+
+    # -- planners ------------------------------------------------------------
+    def rrtc(self, start, goal, env, settings: RRTCSettings, sampler=None) -> PlanningResult:
+        goals = np.asarray(goal, np.float32)
+        if goals.ndim == 1:
+            goals = goals[None]
+        return self._rrtc_multi(start, goals, env, settings, sampler)
+
+    rrtc_single = rrtc
+
+    def _rrtc_multi(self, start, goals, env, settings, sampler) -> PlanningResult:
+        from .planners.rrtc import make_rrtc_batch
+
+        packed = _packed(env)
+        G = len(goals)
+        solve = _cached_rrtc(self.spec, settings, G, _env_key(packed))
+        t0 = time.perf_counter_ns()
+        res = solve(
+            jnp.asarray(np.asarray(start, np.float32))[None],
+            jnp.asarray(goals)[None],
+            jnp.ones((1, G), bool),
+            packed,
+            _as_batch_sampler(sampler, self.spec.dimension),
+        )
+        n = int(res.path_length[0])
+        ns = time.perf_counter_ns() - t0
+        if sampler is not None:
+            sampler.state = HaltonState(
+                b=res.sampler.b[:, 0],
+                n=res.sampler.n[:, 0],
+                d=res.sampler.d[:, 0],
+                iterations=res.sampler.iterations[0],
+            )
+        return PlanningResult(
+            path=np.asarray(res.path[0])[:n],
+            cost=float(res.cost[0]),
+            nanoseconds=ns,
+            iterations=int(res.iterations[0]),
+            size=np.asarray(res.tree_sizes[0]).tolist(),
+        )
+
+    def prm(self, start, goal, env, settings: RoadmapSettings, sampler=None) -> PlanningResult:
+        from .planners.prm import make_prm_grow, prm_solve_batch
+
+        packed = _packed(env)
+        goals = np.asarray(goal, np.float32)
+        if goals.ndim == 1:
+            goals = goals[None]
+        G = len(goals)
+        start_np = np.asarray(start, np.float32)
+        t0 = time.perf_counter_ns()
+        # straight-line early exit (prm.hh:57-69)
+        for g in goals:
+            if self._line_valid(start_np, g, packed):
+                return PlanningResult(
+                    path=np.stack([start_np, g]),
+                    cost=float(np.linalg.norm(g - start_np)),
+                    nanoseconds=time.perf_counter_ns() - t0,
+                    iterations=0,
+                    size=[1, 1],
+                )
+        grow = _cached_prm(self.spec, settings, G, _env_key(packed), True)
+        out = prm_solve_batch(
+            grow,
+            jnp.asarray(start_np)[None],
+            jnp.asarray(goals)[None],
+            jnp.ones((1, G), bool),
+            packed,
+            _as_batch_sampler(sampler, self.spec.dimension),
+        )[0]
+        ns = time.perf_counter_ns() - t0
+        return PlanningResult(
+            path=out.path,
+            cost=out.cost,
+            nanoseconds=ns,
+            iterations=out.iterations,
+            size=[out.roadmap_size, 0],
+        )
+
+    def roadmap(self, start, goal, env, settings: RoadmapSettings, sampler=None):
+        """Full roadmap construction (reference PRM::build_roadmap)."""
+        from .planners.prm import make_prm_grow
+
+        packed = _packed(env)
+        start_np = np.asarray(start, np.float32)
+        goal_np = np.asarray(goal, np.float32)
+        grow = _cached_prm(self.spec, settings, 1, _env_key(packed), False)
+        rm = grow(
+            jnp.asarray(start_np)[None],
+            jnp.asarray(goal_np)[None, None],
+            jnp.ones((1, 1), bool),
+            packed,
+            None,
+        )
+        active = np.asarray(rm.node_active)[:, 0]
+        states = np.asarray(rm.states)[:, :, 0].T  # (N, dim)
+        nbrs = np.asarray(rm.nbr_idx)[:, :, 0]  # (N, K)
+        vertices = states[active]
+        remap = -np.ones(len(active), np.int64)
+        remap[active] = np.arange(active.sum())
+        edges = []
+        for i in np.nonzero(active)[0]:
+            edges.append([int(remap[j]) for j in nbrs[i] if j >= 0 and active[j]])
+        return {
+            "vertices": vertices,
+            "edges": edges,
+            "iterations": int(np.asarray(rm.iterations)[0]),
+        }
+
+    def simplify(self, path, env, settings: SimplifySettings, sampler=None) -> PlanningResult:
+        from .planners.simplify import make_simplify_batch
+
+        packed = _packed(env)
+        p = np.asarray(path, np.float32)
+        P = 256
+        buf = np.zeros((1, P, self.spec.dimension), np.float32)
+        n = min(len(p), P)
+        buf[0, :n] = p[:n]
+        simp = _cached_simplify(self.spec, settings, _env_key(packed), P)
+        t0 = time.perf_counter_ns()
+        res = simp(jnp.asarray(buf), jnp.asarray([n], np.int32), packed)
+        ns = time.perf_counter_ns() - t0
+        m = int(res.path_length[0])
+        return PlanningResult(
+            path=np.asarray(res.path[0])[:m],
+            cost=float(res.cost[0]),
+            nanoseconds=ns,
+            iterations=int(res.iterations[0]),
+            size=[0, 0],
+        )
+
+    # -- internals -----------------------------------------------------------
+    def _line_valid(self, a, b, packed) -> bool:
+        from .ops.validate import make_validate_motions, states_needed
+
+        key = ("line", self.name, _env_key(packed))
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            diam = float(np.linalg.norm(self.spec.range))
+            fn = jax.jit(
+                make_validate_motions(
+                    make_fkcc(self.spec), self.spec.resolution,
+                    states_needed(diam, self.spec.resolution),
+                )
+            )
+            _JIT_CACHE[key] = fn
+        vec = jnp.asarray(b - a)[None]
+        return bool(
+            fn(jnp.asarray(a)[None], vec, jnp.linalg.norm(vec, axis=1), packed)[0]
+        )
+
+
+_JIT_CACHE: Dict[Any, Any] = {}
+
+
+def _packed(env: Union[Environment, "PackedEnvironment"]):
+    from .env import PackedEnvironment
+
+    if isinstance(env, Environment):
+        return env.pack()
+    return env
+
+
+def _env_key(packed) -> tuple:
+    return tuple(
+        (name, tuple(leaf.shape))
+        for name, leaf in sorted(packed.__dict__.items())
+        if hasattr(leaf, "shape")
+    )
+
+
+def _cached_rrtc(spec, settings, n_goals, env_key):
+    key = ("rrtc", spec.name, settings, n_goals, env_key)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        from .planners.rrtc import make_rrtc_batch
+
+        fn = jax.jit(make_rrtc_batch(spec, settings, n_goals))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def _cached_prm(spec, settings, n_goals, env_key, stop_on_connect):
+    key = ("prm", spec.name, settings, n_goals, env_key, stop_on_connect)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        from .planners.prm import make_prm_grow
+
+        fn = jax.jit(make_prm_grow(spec, settings, n_goals, stop_on_connect))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def _cached_simplify(spec, settings, env_key, max_path):
+    key = ("simplify", spec.name, settings, env_key, max_path)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        from .planners.simplify import make_simplify_batch
+
+        fn = jax.jit(make_simplify_batch(spec, settings, max_path))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+@lru_cache(maxsize=None)
+def robot_module(name: str) -> RobotModule:
+    return RobotModule(name)
+
+
+def configure_robot_and_planner_with_kwargs(robot_name: str, planner_name: str, **kwargs):
+    """Reference: src/vamp/__init__.py:80-132. Returns (module, planner_func,
+    plan_settings, simp_settings). Settings are immutable dataclasses here, so
+    kwargs fold in via replace()."""
+    module = robot_module(robot_name)
+    try:
+        planner_func = getattr(module, planner_name)
+    except AttributeError:
+        raise ValueError(f"Robot {robot_name} does not support planner {planner_name}!")
+
+    if planner_name == "rrtc":
+        plan_settings = RRTCSettings(
+            range=ROBOT_RRT_RANGES.get(robot_name, 2.0),
+            # capacities are array sizes on TPU; a practical default replaces
+            # the reference's DEFAULT_ITERATIONS=1e6 budget
+            max_iterations=100_000,
+            max_samples=4096,
+        )
+    elif planner_name in ("prm", "roadmap"):
+        plan_settings = RoadmapSettings(max_iterations=4096, max_samples=4096)
+    elif planner_name == "aorrtc":
+        plan_settings = AORRTCSettings()
+    else:
+        raise NotImplementedError(
+            f"Automatic setup for planner {planner_name} is not implemented yet!"
+        )
+
+    plan_kwargs = {k: v for k, v in kwargs.items() if hasattr(plan_settings, k)}
+    if plan_kwargs:
+        plan_settings = replace(plan_settings, **plan_kwargs)
+
+    simp_settings = SimplifySettings()
+    simp_updates: Dict[str, Any] = {}
+    for k, v in kwargs.items():
+        if k.startswith("simplification_"):
+            sk = k.replace("simplification_", "")
+            if hasattr(simp_settings, sk):
+                if sk == "operations":
+                    v = tuple(r.lower() for r in v)
+                simp_updates[sk] = v
+    for sub in ("reduce", "shortcut", "bspline", "perturb"):
+        sub_updates = {}
+        for k, v in kwargs.items():
+            if k.startswith(f"{sub}_"):
+                sk = k.replace(f"{sub}_", "")
+                if hasattr(getattr(simp_settings, sub), sk):
+                    sub_updates[sk] = v
+        if sub_updates:
+            simp_updates[sub] = replace(getattr(simp_settings, sub), **sub_updates)
+    if simp_updates:
+        simp_settings = replace(simp_settings, **simp_updates)
+
+    return module, planner_func, plan_settings, simp_settings
+
+
+def problem_dict_to_vamp(problem: Dict, ignore_names: Sequence[str] = ()) -> Environment:
+    """MBM problem dict -> Environment (reference src/vamp/__init__.py:135-181,
+    including the "box" problem's cylinder->cuboid overapproximation hack)."""
+    env = Environment()
+    for obj in problem.get("sphere", []):
+        if obj["name"] not in ignore_names:
+            env.add_sphere(Sphere(obj["position"], obj["radius"], name=obj["name"]))
+
+    if problem.get("problem") == "box":
+        for obj in problem.get("cylinder", []):
+            if obj["name"] in ignore_names:
+                continue
+            env.add_cuboid(
+                Cuboid.from_euler(
+                    obj["position"],
+                    obj["orientation_euler_xyz"],
+                    [obj["radius"], obj["radius"], obj["length"] / 2],
+                    name=obj["name"],
+                )
+            )
+    else:
+        for obj in problem.get("cylinder", []):
+            if obj["name"] in ignore_names:
+                continue
+            env.add_capsule(
+                Capsule.from_center(
+                    obj["position"],
+                    obj["orientation_euler_xyz"],
+                    obj["radius"],
+                    obj["length"],
+                    name=obj["name"],
+                )
+            )
+
+    for obj in problem.get("box", []):
+        if obj["name"] not in ignore_names:
+            env.add_cuboid(
+                Cuboid.from_euler(
+                    obj["position"], obj["orientation_euler_xyz"], obj["half_extents"],
+                    name=obj["name"],
+                )
+            )
+    return env
+
+
+def results_to_dict(planning_result: PlanningResult, simplification_result=None) -> Dict:
+    """Reference src/vamp/__init__.py:184-221 (pandas row)."""
+    import pandas as pd
+
+    data = {
+        "planning_time": pd.Timedelta(planning_result.nanoseconds, unit="ns"),
+        "planning_iterations": planning_result.iterations,
+        "solved": planning_result.solved,
+        "planning_graph_size": sum(planning_result.size),
+        "initial_path_vertices": len(planning_result.path),
+        "initial_path_cost": planning_result.cost,
+    }
+    if simplification_result is not None:
+        data.update(
+            {
+                "simplification_time": pd.Timedelta(
+                    simplification_result.nanoseconds, unit="ns"
+                ),
+                "simplified_path_vertices": len(simplification_result.path),
+                "simplified_path_cost": simplification_result.cost,
+            }
+        )
+    else:
+        data.update(
+            {
+                "simplification_time": pd.Timedelta(0, unit="ns"),
+                "simplified_path_vertices": data["initial_path_vertices"],
+                "simplified_path_cost": data["initial_path_cost"],
+            }
+        )
+    data["total_time"] = data["planning_time"] + data["simplification_time"]
+    return data

@@ -64,6 +64,55 @@ def make_validate_motions(fkcc: Callable, resolution: int, n_states: int):
     return validate
 
 
+def make_validate_edges_chunked(
+    fkcc_planner: Callable, resolution: int, chunk_states: int, max_chunks: int
+):
+    """Batched exact-resolution edge validation for arbitrary edge lengths.
+
+    `fkcc_planner` is a batch-minor checker (ops.fkcc_bm.make_fkcc_planner).
+    Validates E edges per lane at the reference's check set (j/(8n)) by
+    sweeping `chunk_states`-state tiles in a while_loop with collective early
+    exit — so short edges cost one fused kernel and long edges only what they
+    need. Inactive edges report True.
+
+    Returns `validate(starts (L,E,dim), vecs (L,E,dim), dists (L,E), envs,
+    base_rot, base_pos, active (L,E)) -> (L,E) bool`.
+    """
+
+    def validate(starts, vecs, dists, envs, br, bp, active):
+        L, E = dists.shape
+        n = jnp.maximum(jnp.ceil(dists * (resolution / RAKE)), 1.0)
+        total = RAKE * n  # (L, E)
+        s_bm = starts.transpose(2, 1, 0)[:, None, :, :]  # (dim, 1, E, L)
+        v_bm = vecs.transpose(2, 1, 0)[:, None, :, :]
+        tot_bm = total.T[None, :, :]  # (1, E, L)
+
+        def chunk_ok(c):
+            j = c * chunk_states + jnp.arange(1, chunk_states + 1, dtype=jnp.float32)
+            frac = jnp.minimum(j[:, None, None], tot_bm) / tot_bm  # (T, E, L)
+            q = s_bm + v_bm * frac[None]
+            ok = fkcc_planner(q, envs, br, bp)  # (T, E, L)
+            return jnp.all(ok, axis=0).T  # (L, E)
+
+        def cond(carry):
+            c, valid, pending = carry
+            return jnp.any(pending & valid) & (c < max_chunks)
+
+        def body(carry):
+            c, valid, pending = carry
+            ok = chunk_ok(c)
+            valid = valid & (ok | ~pending)
+            pending = pending & ((c + 1) * chunk_states < total)
+            return c + 1, valid, pending
+
+        _, valid, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.ones((L, E), bool), active)
+        )
+        return valid | ~active
+
+    return validate
+
+
 def make_validate_motion_pair(fkcc: Callable, resolution: int, n_states: int):
     """`validate(start, goal, env) -> bool` for single start/goal configs
     (reference validate_motion, validate.hh:67-75)."""

@@ -2,19 +2,26 @@
 
 Faithful re-architecture of the reference planner (planning/rrtc.hh:33-248)
 as one jitted `lax.while_loop` advancing L independent problems per device
-step. The batch (lane) axis is hand-laid MINOR in every hot tensor — the TPU
-analogue of the reference's 8 SIMD lanes, but the lanes are whole *problems*:
+step. The lane (problem) axis is hand-laid MINOR in every hot tensor — the
+TPU analogue of the reference's 8 SIMD lanes, but the lanes are whole
+problems:
 
 - edge validation: all L lanes' candidate edges interpolate into one
-  (dim, T, L) block and run through ONE fused batch-minor fkcc call
-  (ops.fkcc_bm.make_fkcc_planner) — T interpolation states in sublanes,
-  problems in vector lanes;
-- nearest neighbor: tree states are stored transposed (L, dim, N) so the
-  masked-argmin distance sweep reduces over the sublane dim axis with N in
-  vector lanes;
-- Halton streams are batch-minor (dim, L) and only advance on EXTEND steps,
+  (dim, T, L) block and run through ONE fused batch-minor fkcc call;
+- tree storage is slot-major lane-minor (states (dim, N, L)) and slots are
+  allocated per STEP, shared across lanes: every insertion is a
+  `dynamic_update_slice` at one traced scalar slot — per-lane scatter
+  (pathologically slow on TPU: ~4 ms per scatter at L=4096) never happens.
+  Lanes that don't insert on a step leave their column of that slot inactive.
+  Consequence: `max_samples` bounds SLOTS (loop steps), not inserted nodes —
+  a documented deviation from rrtc.hh:48-54's per-node buffer; tree content
+  and paths are unchanged;
+- nearest neighbor is a masked distance sweep over (N, L) with argmin on the
+  slot axis; node reads use one-hot reductions (vector-friendly), never
+  per-lane gathers in the hot loop;
+- Halton streams are batch-minor (dim, L) and advance only on EXTEND steps,
   so each lane's sample sequence — and hence its tree and path — is exactly
-  the reference's for the same stream (verified by tests/test_rrtc_parity.py
+  the reference's for the same stream (tests/test_rrtc_parity.py pins this
   against the reference planner itself).
 
 The reference's per-iteration flow (extend, then a greedy multi-segment
@@ -39,6 +46,7 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..env import PackedEnvironment
 from ..ops.fkcc_bm import make_fkcc_planner
@@ -84,7 +92,7 @@ def make_rrtc_batch(
     fkcc = make_fkcc_planner(spec)
     dim = spec.dimension
     res = spec.resolution
-    N = settings.max_samples
+    N = settings.max_samples  # slot capacity (= loop-step capacity, see above)
     rng_range = jnp.float32(settings.range)
 
     diam = float(np.linalg.norm(spec.range))
@@ -94,18 +102,14 @@ def make_rrtc_batch(
     lower = jnp.asarray(spec.lower)
     scale = jnp.asarray(spec.range)
 
-    def _interp_bm(starts, vecs, dists, T):
-        """starts/vecs (L, dim), dists (L,) -> configs (dim, T, L) at the
-        reference's check fractions (validate.hh:41; j/(8n), j=1..8n)."""
-        n = jnp.maximum(jnp.ceil(dists * (res / RAKE)), 1.0)  # (L,)
+    def validate_lanes(starts_bm, vecs_bm, dists, envs, br, bp, T):
+        """starts_bm/vecs_bm (dim, L); dists (L,) -> (L,) bool. One fused
+        kernel at the reference's check set (validate.hh:41; j/(8n))."""
+        n = jnp.maximum(jnp.ceil(dists * (res / RAKE)), 1.0)
         total = RAKE * n
-        j = jnp.arange(1, T + 1, dtype=jnp.float32)  # (T,)
+        j = jnp.arange(1, T + 1, dtype=jnp.float32)
         frac = jnp.minimum(j[:, None], total[None, :]) / total[None, :]  # (T, L)
-        return starts.T[:, None, :] + vecs.T[:, None, :] * frac[None, :, :]
-
-    def validate_lanes(starts, vecs, dists, envs, br, bp, T):
-        """One fused kernel validating one edge per lane -> (L,) bool."""
-        q = _interp_bm(starts, vecs, dists, T)  # (dim, T, L)
+        q = starts_bm[:, None, :] + vecs_bm[:, None, :] * frac[None]
         ok = fkcc(q, envs, br, bp)  # (T, L)
         return jnp.all(ok, axis=0)
 
@@ -121,64 +125,56 @@ def make_rrtc_batch(
         L, G = goals.shape[0], goals.shape[1]
         if samplers is None:
             samplers = halton_init_batch(dim, L)
+        br, bp = base_rot, base_pos
 
         # -- straight-line early exit (rrtc.hh:61-74) -----------------------
         line_vecs = goals - starts[:, None, :]  # (L, G, dim)
         line_dists = jnp.linalg.norm(line_vecs, axis=2)
-        # flatten goals into lanes: (L*G) edges; env lanes repeat per goal
-        lv = line_vecs.transpose(2, 0, 1).reshape(dim, 1, L * G)
-        ls = jnp.repeat(starts.T[:, None, :], G, axis=2) if G > 1 else starts.T[:, None, :]
-        # interpolate directly: fractions per (L*G) edge
-        n = jnp.maximum(jnp.ceil(line_dists.reshape(-1) * (res / RAKE)), 1.0)
-        total = RAKE * n
-        jj = jnp.arange(1, T_line + 1, dtype=jnp.float32)
-        frac = jnp.minimum(jj[:, None], total[None, :]) / total[None, :]  # (T, L*G)
-        q_line = ls + lv * frac[None, :, :]
-        if G > 1:
-            envs_rep = (
-                jax.tree.map(lambda x: jnp.repeat(x, G, axis=0), envs)
-                if envs.sphere_xyzr.ndim == 3
-                else envs
-            )
+        lv = line_vecs.transpose(2, 0, 1).reshape(dim, L * G)
+        ls = jnp.broadcast_to(starts.T[:, :, None], (dim, L, G)).reshape(dim, L * G)
+        if envs.sphere_xyzr.ndim == 3 and G > 1:
+            envs_rep = jax.tree.map(lambda x: jnp.repeat(x, G, axis=0), envs)
         else:
             envs_rep = envs
-        ok = fkcc(q_line, envs_rep, base_rot, base_pos)  # (T, L*G)
-        line_valid = jnp.all(ok, axis=0).reshape(L, G) & goal_mask
-        any_line = jnp.any(line_valid, axis=1)  # (L,)
-        first_goal = jnp.argmax(line_valid, axis=1)  # (L,)
+        line_ok = validate_lanes(
+            ls, lv, line_dists.reshape(-1), envs_rep, br, bp, T_line
+        ).reshape(L, G)
+        line_valid = line_ok & goal_mask
+        any_line = jnp.any(line_valid, axis=1)
+        first_goal = jnp.argmax(line_valid, axis=1)
 
-        # -- tree buffers (lane-major for gathers, transposed copy for NN) --
-        states = jnp.zeros((L, N, dim), jnp.float32)
-        states = states.at[:, 0, :].set(starts)
-        states = states.at[:, 1 : 1 + G, :].set(goals)
-        states_T = jnp.swapaxes(states, 1, 2)  # (L, dim, N)
-        parents = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (L, N))
-        radii = jnp.full((L, N), INF)
-        in_tree = jnp.zeros((L, N), jnp.int8).at[:, 1 : 1 + G].set(1)
-        slot_active = jnp.zeros((L, N), bool).at[:, 0].set(True)
-        slot_active = slot_active.at[:, 1 : 1 + G].set(goal_mask)
+        # -- tree buffers: slot-major, lane-minor ---------------------------
+        states = jnp.zeros((dim, N, L), jnp.float32)
+        states = lax.dynamic_update_slice(states, starts.T[:, None, :], (0, 0, 0))
+        states = lax.dynamic_update_slice(
+            states, goals.transpose(2, 1, 0), (0, 1, 0)
+        )
+        parents = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, L))
+        radii = jnp.full((N, L), INF)
+        in_tree = jnp.zeros((N, L), jnp.int8).at[1 : 1 + G].set(1)
+        slot_active = jnp.zeros((N, L), bool).at[0].set(True)
+        slot_active = lax.dynamic_update_slice(slot_active, goal_mask.T, (1, 0))
 
-        lanes = jnp.arange(L)
+        iota_N = jnp.arange(N, dtype=jnp.int32)[:, None]  # (N, 1)
 
         carry = dict(
             states=states,
-            states_T=states_T,
             parents=parents,
             radii=radii,
             in_tree=in_tree,
             slot_active=slot_active,
-            free_index=jnp.full((L,), 1 + G, jnp.int32),
+            slot=jnp.int32(1 + G),  # shared next-slot counter
             sizes=jnp.stack(
-                [jnp.ones((L,)), jnp.sum(goal_mask, axis=1).astype(jnp.float32)], axis=1
-            ),
+                [jnp.ones((L,)), jnp.sum(goal_mask, axis=1).astype(jnp.float32)]
+            ),  # (2, L)
             tree_a=jnp.full((L,), 1 if settings.start_tree_first else 0, jnp.int8),
             sampler=samplers,
             iter=jnp.zeros((L,), jnp.int32),
             done=any_line,
             mode=jnp.full((L,), 0, jnp.int8),
-            c_prior=jnp.zeros((L, dim), jnp.float32),
+            c_prior=jnp.zeros((dim, L), jnp.float32),
             c_prior_idx=jnp.zeros((L,), jnp.int32),
-            c_inc=jnp.zeros((L, dim), jnp.float32),
+            c_inc=jnp.zeros((dim, L), jnp.float32),
             c_inc_len=jnp.zeros((L,), jnp.float32),
             c_segs_left=jnp.zeros((L,), jnp.int32),
             c_target=jnp.zeros((L,), jnp.int32),
@@ -188,43 +184,81 @@ def make_rrtc_batch(
 
         def running(c):
             budget = (c["iter"] < settings.max_iterations) | (c["mode"] == CONNECT)
-            return budget & (c["free_index"] < N) & (~c["done"])
+            return budget & (~c["done"])
 
         def cond(c):
-            return jnp.any(running(c))
+            return jnp.any(running(c)) & (c["slot"] < N)
 
-        def nearest(states_T, sq_mask, q):
-            """Per-lane masked nearest. states_T (L,dim,N); q (L,dim);
-            sq_mask (L,N) bool -> (idx (L,), dist (L,))."""
-            d = states_T - q[:, :, None]  # (L, dim, N)
-            sq = jnp.sum(d * d, axis=1)  # (L, N)
-            sq = jnp.where(sq_mask, sq, BIG)
-            idx = jnp.argmin(sq, axis=1).astype(jnp.int32)
-            dist = jnp.sqrt(jnp.take_along_axis(sq, idx[:, None], 1)[:, 0])
-            return idx, dist
+        CH = min(256, N)  # slots per NN sweep chunk
+        n_chunks_static = -(-N // CH)
+
+        def nearest_and_cfg(states, radii, sq_mask, q_bm, bound_slot):
+            """Masked nearest per lane + its configuration + its radius.
+
+            Sweeps only the slots allocated so far (bound_slot is the shared
+            slot counter) in CH-slot chunks — step cost grows with the tree
+            like the reference's incremental kd-tree, instead of paying the
+            full static capacity every step.
+
+            states (dim, N, L); radii (N, L); q_bm (dim, L); sq_mask (N, L).
+            Returns (idx (L,), dist (L,), cfg (dim, L), radius (L,)).
+            """
+            n_chunks = (bound_slot + CH - 1) // CH
+
+            def chunk(ci, carry):
+                best_sq, best_idx, best_cfg, best_rad = carry
+                off = ci * CH
+                blk = lax.dynamic_slice(states, (0, off, 0), (dim, CH, L))
+                mblk = lax.dynamic_slice(sq_mask, (off, 0), (CH, L))
+                rblk = lax.dynamic_slice(radii, (off, 0), (CH, L))
+                d = blk - q_bm[:, None, :]
+                sq = jnp.sum(d * d, axis=0)  # (CH, L)
+                sq = jnp.where(mblk, sq, BIG)
+                ci_min = jnp.min(sq, axis=0)  # (L,)
+                ci_arg = jnp.argmin(sq, axis=0).astype(jnp.int32)  # (L,)
+                oh = jnp.arange(CH, dtype=jnp.int32)[:, None] == ci_arg[None, :]
+                ci_cfg = jnp.sum(jnp.where(oh[None], blk, 0.0), axis=1)  # (dim, L)
+                ci_rad = jnp.sum(jnp.where(oh, rblk, 0.0), axis=0)  # (L,)
+                better = ci_min < best_sq
+                best_cfg = jnp.where(better[None], ci_cfg, best_cfg)
+                best_idx = jnp.where(better, ci_arg + off, best_idx)
+                best_rad = jnp.where(better, ci_rad, best_rad)
+                best_sq = jnp.minimum(best_sq, ci_min)
+                return best_sq, best_idx, best_cfg, best_rad
+
+            init = (
+                jnp.full((L,), BIG),
+                jnp.zeros((L,), jnp.int32),
+                jnp.zeros((dim, L), jnp.float32),
+                jnp.zeros((L,), jnp.float32),
+            )
+            best_sq, best_idx, best_cfg, best_rad = lax.while_loop(
+                lambda c: c[0] < n_chunks,
+                lambda c: (c[0] + 1, chunk(c[0], c[1])),
+                (jnp.int32(0), init),
+            )[1]
+            return best_idx, jnp.sqrt(best_sq), best_cfg, best_rad
 
         def body(c):
-            states, states_T = c["states"], c["states_T"]
-            parents, radii = c["parents"], c["radii"]
+            states, parents, radii = c["states"], c["parents"], c["radii"]
             in_tree, slot_active = c["in_tree"], c["slot_active"]
-            free_index, sizes, tree_a = c["free_index"], c["sizes"], c["tree_a"]
+            slot, sizes, tree_a = c["slot"], c["sizes"], c["tree_a"]
             run = running(c)
-            extend = run & (c["mode"] == EXTEND)
+            is_ext = c["mode"] == EXTEND
+            extend = run & is_ext
 
             # -- balance swap (EXTEND lanes only; rrtc.hh:101-109) ----------
-            ta = tree_a.astype(jnp.int32)
-            asize = jnp.take_along_axis(sizes, ta[:, None], 1)[:, 0]
-            bsize = jnp.take_along_axis(sizes, (1 - ta)[:, None], 1)[:, 0]
+            ta_oh = jnp.stack([tree_a == 0, tree_a == 1]).astype(jnp.float32)  # (2,L)
+            asize = jnp.sum(sizes * ta_oh, axis=0)
+            bsize = jnp.sum(sizes * (1.0 - ta_oh), axis=0)
             ratio = jnp.abs(asize - bsize) / asize
             do_swap = (
-                jnp.full((L,), True)
-                if not settings.balance
-                else ratio < settings.tree_ratio
+                jnp.full((L,), True) if not settings.balance else ratio < settings.tree_ratio
             )
             tree_a = jnp.where(extend & do_swap, 1 - tree_a, tree_a).astype(jnp.int8)
 
             # -- sample (rrtc.hh:111-112); stream advances on EXTEND only ---
-            u, sampler_next = halton_next(c["sampler"])  # u (dim, L)
+            u, sampler_next = halton_next(c["sampler"])  # (dim, L)
             sampler = jax.tree.map(
                 lambda new, old: jnp.where(
                     extend if new.ndim == 1 else extend[None], new, old
@@ -232,38 +266,36 @@ def make_rrtc_batch(
                 sampler_next,
                 c["sampler"],
             )
-            sample = (u * scale[:, None] + lower[:, None]).T  # (L, dim)
+            sample = u * scale[:, None] + lower[:, None]  # (dim, L)
 
             # -- nearest in tree_a (rrtc.hh:117-123) ------------------------
-            mask_a = slot_active & (in_tree == tree_a[:, None])
-            near_idx, near_dist = nearest(states_T, mask_a, sample)
-            near_radius = jnp.take_along_axis(radii, near_idx[:, None], 1)[:, 0]
+            mask_a = slot_active & (in_tree == tree_a[None, :])
+            near_idx, near_dist, near_cfg, near_radius = nearest_and_cfg(
+                states, radii, mask_a, sample, slot
+            )
             dd_reject = jnp.bool_(settings.dynamic_domain) & (near_radius < near_dist)
 
-            near_cfg = states[lanes, near_idx]  # (L, dim)
             vec = sample - near_cfg
             reach = near_dist < rng_range
             ext_vec = jnp.where(
-                reach[:, None], vec, vec * (rng_range / jnp.maximum(near_dist, 1e-12))[:, None]
+                reach[None], vec, vec * (rng_range / jnp.maximum(near_dist, 1e-12))[None]
             )
             ext_dist = jnp.where(reach, near_dist, rng_range)
 
             # -- one fused edge validation for all lanes --------------------
-            is_ext = (c["mode"] == EXTEND)
-            v_start = jnp.where(is_ext[:, None], near_cfg, c["c_prior"])
-            v_vec = jnp.where(is_ext[:, None], ext_vec, c["c_inc"])
+            v_start = jnp.where(is_ext[None], near_cfg, c["c_prior"])
+            v_vec = jnp.where(is_ext[None], ext_vec, c["c_inc"])
             v_dist = jnp.where(is_ext, ext_dist, c["c_inc_len"])
-            edge_valid = validate_lanes(
-                v_start, v_vec, v_dist, envs, base_rot, base_pos, T_edge
-            )
+            edge_valid = validate_lanes(v_start, v_vec, v_dist, envs, br, bp, T_edge)
 
-            # -- EXTEND bookkeeping -----------------------------------------
+            # -- EXTEND / CONNECT bookkeeping -------------------------------
             ext_ok = extend & edge_valid & ~dd_reject
             con_ok = run & (c["mode"] == CONNECT) & edge_valid
             new_cfg = jnp.where(
-                ext_ok[:, None], near_cfg + ext_vec, c["c_prior"] + c["c_inc"]
+                ext_ok[None], near_cfg + ext_vec, c["c_prior"] + c["c_inc"]
             )
 
+            # dynamic-domain radius update (one-hot write at near_idx)
             grow = ext_ok & jnp.bool_(settings.dynamic_domain) & (near_radius != INF)
             shrink = extend & ~edge_valid & ~dd_reject & jnp.bool_(settings.dynamic_domain)
             shrunk = jnp.where(
@@ -276,34 +308,26 @@ def make_rrtc_batch(
                 near_radius * (1.0 + settings.alpha),
                 jnp.where(shrink, shrunk, near_radius),
             )
-            radii = radii.at[lanes, near_idx].set(r_new)
+            oh_near = iota_N == near_idx[None, :]  # (N, L)
+            radii = jnp.where(oh_near & (grow | shrink)[None, :], r_new[None, :], radii)
 
-            # -- node insertion (either mode) -------------------------------
+            # -- node insertion at the SHARED slot --------------------------
             ins = ext_ok | con_ok
             node_parent = jnp.where(is_ext, near_idx, c["c_prior_idx"])
-            old_rows = states[lanes, free_index]
-            row = jnp.where(ins[:, None], new_cfg, old_rows)
-            states = states.at[lanes, free_index].set(row)
-            states_T = states_T.at[lanes, :, free_index].set(row)
-            parents = parents.at[lanes, free_index].set(
-                jnp.where(ins, node_parent, parents[lanes, free_index])
-            )
-            in_tree = in_tree.at[lanes, free_index].set(
-                jnp.where(ins, tree_a, in_tree[lanes, free_index])
-            )
-            slot_active = slot_active.at[lanes, free_index].set(
-                slot_active[lanes, free_index] | ins
-            )
-            node_id = free_index
-            free_index = free_index + ins.astype(jnp.int32)
-            sizes_flat = sizes.reshape(-1)
-            add_idx = lanes * 2 + tree_a.astype(jnp.int32)
-            sizes = sizes_flat.at[add_idx].add(ins.astype(jnp.float32)).reshape(L, 2)
+            states = lax.dynamic_update_slice(states, new_cfg[:, None, :], (0, slot, 0))
+            parents = lax.dynamic_update_slice(parents, node_parent[None, :], (slot, 0))
+            in_tree = lax.dynamic_update_slice(in_tree, tree_a[None, :], (slot, 0))
+            slot_active = lax.dynamic_update_slice(slot_active, ins[None, :], (slot, 0))
+            node_id = slot
+            slot = slot + 1
+            ta2_oh = jnp.stack([tree_a == 0, tree_a == 1]).astype(jnp.float32)
+            sizes = sizes + ta2_oh * ins[None, :].astype(jnp.float32)
 
             # -- connect transitions (rrtc.hh:160-194) ----------------------
-            mask_b = slot_active & (in_tree == (1 - tree_a)[:, None])
-            ob_idx, ob_dist = nearest(states_T, mask_b, new_cfg)
-            ob_cfg = states[lanes, ob_idx]
+            mask_b = slot_active & (in_tree == (1 - tree_a)[None, :])
+            ob_idx, ob_dist, ob_cfg, _ = nearest_and_cfg(
+                states, radii, mask_b, new_cfg, slot
+            )
             n_ext = jnp.maximum(jnp.ceil(ob_dist / rng_range), 1.0)
             start_connect = ext_ok
             segs_left = jnp.where(
@@ -314,14 +338,14 @@ def make_rrtc_batch(
             connected = con_ok & (segs_left == 0)
 
             c_inc = jnp.where(
-                start_connect[:, None], (ob_cfg - new_cfg) / n_ext[:, None], c["c_inc"]
+                start_connect[None], (ob_cfg - new_cfg) / n_ext[None], c["c_inc"]
             )
             c_inc_len = jnp.where(start_connect, ob_dist / n_ext, c["c_inc_len"])
             c_target = jnp.where(start_connect, ob_idx, c["c_target"])
-            c_prior = jnp.where(ins[:, None], new_cfg, c["c_prior"])
+            c_prior = jnp.where(ins[None], new_cfg, c["c_prior"])
             c_prior_idx = jnp.where(ins, node_id, c["c_prior_idx"])
 
-            in_connect = (start_connect | con_ok) & ~connected & (free_index < N)
+            in_connect = (start_connect | con_ok) & ~connected
             mode = jnp.where(run, jnp.where(in_connect, 1, 0), c["mode"]).astype(jnp.int8)
 
             tail_a = jnp.where(connected, node_id, c["tail_a"])
@@ -329,12 +353,11 @@ def make_rrtc_batch(
 
             return dict(
                 states=states,
-                states_T=states_T,
                 parents=parents,
                 radii=radii,
                 in_tree=in_tree,
                 slot_active=slot_active,
-                free_index=free_index,
+                slot=slot,
                 sizes=sizes,
                 tree_a=tree_a,
                 sampler=sampler,
@@ -353,15 +376,17 @@ def make_rrtc_batch(
 
         out = jax.lax.while_loop(cond, body, carry)
 
-        # -- path recovery (rrtc.hh:196-227) --------------------------------
-        states, parents = out["states"], out["parents"]
+        # -- path recovery (rrtc.hh:196-227); cold path, lane-major is fine --
+        states_lm = out["states"].transpose(2, 1, 0)  # (L, N, dim)
+        parents_lm = out["parents"].T  # (L, N)
         tree_a_end = out["tree_a"]
+        lanes = jnp.arange(L)
 
         def walk(tail):
             def step(i, acc):
                 buf, cur, length = acc
                 buf = buf.at[:, i].set(cur)
-                nxt = parents[lanes, cur]
+                nxt = jnp.take_along_axis(parents_lm, cur[:, None], 1)[:, 0]
                 length = jnp.where(cur == nxt, length, length + 1)
                 return buf, nxt, length
 
@@ -373,13 +398,13 @@ def make_rrtc_batch(
 
         chain_a, len_a = walk(out["tail_a"])
         # reference pushes only the connect target's ANCESTORS (rrtc.hh:210-219)
-        tb_parent = parents[lanes, out["tail_b"]]
+        tb_parent = jnp.take_along_axis(parents_lm, out["tail_b"][:, None], 1)[:, 0]
         b_root = tb_parent == out["tail_b"]
         chain_b, len_b = walk(tb_parent)
         len_b = jnp.where(b_root, 0, len_b)
         total = len_a + len_b
 
-        pos = jnp.arange(max_path)[None, :]  # (1, P)
+        pos = jnp.arange(max_path)[None, :]
         idx_a = jnp.clip(len_a[:, None] - 1 - pos, 0, max_path - 1)
         idx_b = jnp.clip(pos - len_a[:, None], 0, max_path - 1)
         seq = jnp.where(
@@ -390,7 +415,7 @@ def make_rrtc_batch(
         flipped_idx = jnp.clip(total[:, None] - 1 - pos, 0, max_path - 1)
         seq_flipped = jnp.take_along_axis(seq, flipped_idx, 1)
         seq = jnp.where((tree_a_end == 0)[:, None], seq, seq_flipped)
-        path = jnp.take_along_axis(states, seq[:, :, None], 1)  # (L, P, dim)
+        path = jnp.take_along_axis(states_lm, seq[:, :, None], 1)  # (L, P, dim)
 
         # straight-line overrides
         line_goal = jnp.take_along_axis(goals, first_goal[:, None, None], 1)[:, 0]
@@ -410,7 +435,7 @@ def make_rrtc_batch(
             cost=jnp.where(solved, cost, 0.0),
             iterations=out["iter"],
             solved=solved,
-            tree_sizes=out["sizes"].astype(jnp.int32),
+            tree_sizes=out["sizes"].T.astype(jnp.int32),
             sampler=out["sampler"],
         )
 
@@ -427,7 +452,6 @@ def make_rrtc(
     (dim,), goals (G, dim), goal_mask (G,), env, sampler?, base_rot?,
     base_pos?) -> RRTCResult` with scalar leading shapes."""
     solve_batch = make_rrtc_batch(spec, settings, n_goals, max_path)
-    dim = spec.dimension
 
     def solve(start, goals, goal_mask, env, sampler=None, base_rot=None, base_pos=None):
         if sampler is not None and sampler.b.ndim == 1:
@@ -438,13 +462,7 @@ def make_rrtc(
                 iterations=sampler.iterations[None],
             )
         res = solve_batch(
-            start[None],
-            goals[None],
-            goal_mask[None],
-            env,
-            sampler,
-            base_rot,
-            base_pos,
+            start[None], goals[None], goal_mask[None], env, sampler, base_rot, base_pos
         )
         return RRTCResult(
             path=res.path[0],

@@ -69,44 +69,9 @@ def make_simplify_batch(
     diam = float(np.linalg.norm(spec.range))
     max_chunks = max(int(np.ceil(diam * res / chunk_states)), 1)
 
-    def validate_edges(starts, vecs, dists, envs, br, bp, active):
-        """Validate E edges per lane exactly at the reference's check set.
+    from ..ops.validate import make_validate_edges_chunked
 
-        starts/vecs: (L, E, dim); dists/active: (L, E). Chunked while_loop
-        over `chunk_states`-state tiles with collective early exit. Inactive
-        edges report True. Returns (L, E) bool.
-        """
-        L, E = dists.shape
-        n = jnp.maximum(jnp.ceil(dists * (res / RAKE)), 1.0)
-        total = RAKE * n  # (L, E) number of checks per edge
-        # batch-minor layout: (dim, T, E, L)
-        s_bm = starts.transpose(2, 1, 0)[:, None, :, :]  # (dim, 1, E, L)
-        v_bm = vecs.transpose(2, 1, 0)[:, None, :, :]
-        tot_bm = total.T[None, :, :]  # (1, E, L)
-
-        def chunk_ok(c):
-            j = c * chunk_states + jnp.arange(1, chunk_states + 1, dtype=jnp.float32)
-            frac = jnp.minimum(j[:, None, None], tot_bm) / tot_bm  # (T, E, L)
-            q = s_bm + v_bm * frac[None]
-            ok = fkcc(q, envs, br, bp)  # (T, E, L)
-            # states beyond this edge's count duplicate the endpoint — harmless
-            return jnp.all(ok, axis=0).T  # (L, E)
-
-        def cond(carry):
-            c, valid, pending = carry
-            return jnp.any(pending & valid) & (c < max_chunks)
-
-        def body(carry):
-            c, valid, pending = carry
-            ok = chunk_ok(c)
-            valid = valid & (ok | ~pending)
-            pending = pending & ((c + 1) * chunk_states < total)
-            return c + 1, valid, pending
-
-        valid0 = jnp.ones((L, E), bool)
-        pending0 = active
-        _, valid, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), valid0, pending0))
-        return valid | ~active
+    validate_edges = make_validate_edges_chunked(fkcc, res, chunk_states, max_chunks)
 
     def shortcut(paths, lengths, envs, br, bp):
         """Deterministic pairwise shortcutting (simplify.hh:115-141)."""
