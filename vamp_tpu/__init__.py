@@ -49,7 +49,7 @@ from .utils.settings import (
 # reference naming aliases
 PRMSettings = RoadmapSettings
 
-_ROBOT_MODULES = ("panda", "ur5", "fetch", "baxter")
+_ROBOT_MODULES = ("panda", "ur5", "fetch", "baxter", "sphere")
 
 
 def __getattr__(name: str):

@@ -296,7 +296,7 @@ class RobotModule:
     def _line_valid(self, a, b, packed) -> bool:
         from .ops.validate import make_validate_motions, states_needed
 
-        key = ("line", self.name, _env_key(packed))
+        key = ("line", self.name, id(self.spec), _env_key(packed))
         fn = _JIT_CACHE.get(key)
         if fn is None:
             diam = float(np.linalg.norm(self.spec.range))
@@ -333,7 +333,7 @@ def _env_key(packed) -> tuple:
 
 
 def _cached_rrtc(spec, settings, n_goals, env_key):
-    key = ("rrtc", spec.name, settings, n_goals, env_key)
+    key = ("rrtc", spec.name, id(spec), settings, n_goals, env_key)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         from .planners.rrtc import make_rrtc_batch
@@ -344,7 +344,7 @@ def _cached_rrtc(spec, settings, n_goals, env_key):
 
 
 def _cached_prm(spec, settings, n_goals, env_key, stop_on_connect):
-    key = ("prm", spec.name, settings, n_goals, env_key, stop_on_connect)
+    key = ("prm", spec.name, id(spec), settings, n_goals, env_key, stop_on_connect)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         from .planners.prm import make_prm_grow
@@ -355,7 +355,7 @@ def _cached_prm(spec, settings, n_goals, env_key, stop_on_connect):
 
 
 def _cached_simplify(spec, settings, env_key, max_path):
-    key = ("simplify", spec.name, settings, env_key, max_path)
+    key = ("simplify", spec.name, id(spec), settings, env_key, max_path)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         from .planners.simplify import make_simplify_batch
@@ -365,8 +365,42 @@ def _cached_simplify(spec, settings, env_key, max_path):
     return fn
 
 
+class SphereRobotModule(RobotModule):
+    """Point-sphere robot with runtime-settable bounds/radius (reference:
+    robots/sphere/fk.hh set_lows/set_highs/set_radius)."""
+
+    def __init__(self):
+        from .robots.descriptions import make_sphere_robot
+
+        self._lows = (-10.0, -10.0, 0.0)
+        self._highs = (10.0, 10.0, 5.0)
+        self._radius = 0.2
+        super().__init__("sphere", make_sphere_robot())
+
+    def _rebuild(self):
+        from .robots.descriptions import make_sphere_robot
+
+        RobotModule.__init__(
+            self, "sphere", make_sphere_robot(self._lows, self._highs, self._radius)
+        )
+
+    def set_lows(self, lows):
+        self._lows = tuple(float(x) for x in lows)
+        self._rebuild()
+
+    def set_highs(self, highs):
+        self._highs = tuple(float(x) for x in highs)
+        self._rebuild()
+
+    def set_radius(self, radius):
+        self._radius = float(radius)
+        self._rebuild()
+
+
 @lru_cache(maxsize=None)
 def robot_module(name: str) -> RobotModule:
+    if name == "sphere":
+        return SphereRobotModule()
     return RobotModule(name)
 
 

@@ -234,10 +234,14 @@ class Environment:
         kernel mask-reduces over every shape."""
 
     # -- packing -----------------------------------------------------------
-    def pack(self, quantum: int = 8) -> PackedEnvironment:
-        ns = _round_capacity(len(self.spheres), quantum)
-        nc = _round_capacity(len(self.capsules), quantum)
-        nb = _round_capacity(len(self.cuboids), quantum)
+    def pack(self, quantum: int = 8, capacities: Optional[dict] = None) -> PackedEnvironment:
+        """Pack to a static-capacity pytree. `capacities` (keys: spheres,
+        capsules, cuboids) forces minimum slot counts so environments of
+        different sizes stack into one lane-batched pytree."""
+        caps = capacities or {}
+        ns = max(_round_capacity(len(self.spheres), quantum), caps.get("spheres", 0))
+        nc = max(_round_capacity(len(self.capsules), quantum), caps.get("capsules", 0))
+        nb = max(_round_capacity(len(self.cuboids), quantum), caps.get("cuboids", 0))
 
         sphere_xyzr = np.full((ns, 4), FAR, np.float32)
         sphere_xyzr[:, 3] = 0.0

@@ -66,10 +66,60 @@ DEFAULT_ITERATIONS = 1_000_000
 ROBOT_NAMES = ["panda", "ur5", "fetch", "baxter"]
 
 
+def make_sphere_robot(
+    lows=(-10.0, -10.0, 0.0), highs=(10.0, 10.0, 5.0), radius=0.2
+) -> RobotSpec:
+    """Point-sphere robot in R^3 (reference: robots/sphere/fk.hh).
+
+    Built as a degenerate 3-prismatic-joint chain so every kernel (fkcc,
+    planners, validation) reuses the standard machinery. Preserved reference
+    quirk: space_measure is the L2 *norm* of the bounds extent, not a volume
+    (sphere/fk.hh:67-72); its eefk is left unimplemented in the reference —
+    ours returns the point position with identity rotation (knowing fix).
+    """
+    from .spec import ChainOp, PRISMATIC
+
+    eye = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+    axes = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]
+    ops = tuple(
+        ChainOp(
+            parent=i - 1,
+            origin_rot=eye,
+            origin_xyz=(0.0, 0.0, 0.0),
+            jtype=PRISMATIC,
+            axis=axes[i],
+            qi=i,
+            link_name=f"axis_{'xyz'[i]}",
+        )
+        for i in range(3)
+    )
+    lows = np.asarray(lows, np.float32)
+    highs = np.asarray(highs, np.float32)
+    return RobotSpec(
+        name="sphere",
+        dimension=3,
+        resolution=32,
+        ops=ops,
+        sphere_frame=np.asarray([2], np.int32),
+        sphere_center=np.zeros((1, 3), np.float32),
+        sphere_radius=np.asarray([radius], np.float32),
+        sphere_link_names=("axis_z",),
+        lower=lows,
+        upper=highs,
+        self_pairs=np.zeros((0, 2), np.int32),
+        ee_frame=2,
+        attach_check_frames=(),
+        space_measure_const=float(np.linalg.norm(highs - lows)),
+        self_pairs_attach=np.zeros((0, 2), np.int32),
+    )
+
+
 @lru_cache(maxsize=None)
 def load_robot(name: str) -> RobotSpec:
     from .serialize import load_spec
 
+    if name == "sphere":
+        return make_sphere_robot()
     path = DATA_DIR / f"{name}.json"
     if not path.exists():
         raise ValueError(
