@@ -240,6 +240,73 @@ class RobotModule:
             size=[out.roadmap_size, 0],
         )
 
+    def aorrtc(self, start, goal, env, settings: AORRTCSettings, sampler=None) -> PlanningResult:
+        """Anytime-optimal RRTC (reference Helper::aorrtc)."""
+        from .planners.aorrtc import make_aorrtc_batch
+
+        packed = _packed(env)
+        goal_np = np.asarray(goal, np.float32)
+        if goal_np.ndim > 1:
+            goal_np = goal_np[0]  # PHS path is single-goal (reference parity)
+        key = ("aorrtc", self.name, id(self.spec), settings, _env_key(packed))
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            fn = make_aorrtc_batch(self.spec, settings)
+            _JIT_CACHE[key] = fn
+        t0 = time.perf_counter_ns()
+        sam = _as_batch_sampler(sampler, self.spec.dimension)
+        paths, lens, costs, solved = fn(
+            jnp.asarray(np.asarray(start, np.float32))[None],
+            jnp.asarray(goal_np)[None],
+            packed,
+            sam,
+        )
+        ns = time.perf_counter_ns() - t0
+        n = int(lens[0]) if bool(solved[0]) else 0
+        return PlanningResult(
+            path=np.asarray(paths[0])[:n],
+            cost=float(costs[0]),
+            nanoseconds=ns,
+            iterations=int(settings.max_iterations),
+            size=[0, 0],
+        )
+
+    aorrtc_multi_goal = aorrtc
+
+    def fcit(self, start, goal, env, settings: RoadmapSettings, sampler=None) -> PlanningResult:
+        """FCIT* (reference Helper::fcit)."""
+        from .planners.fcit import make_fcit_batch
+
+        packed = _packed(env)
+        goals = np.asarray(goal, np.float32)
+        if goals.ndim == 1:
+            goals = goals[None]
+        G = len(goals)
+        key = ("fcit", self.name, id(self.spec), settings, G, _env_key(packed))
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(make_fcit_batch(self.spec, settings, n_goals=G))
+            _JIT_CACHE[key] = fn
+        t0 = time.perf_counter_ns()
+        res = fn(
+            jnp.asarray(np.asarray(start, np.float32))[None],
+            jnp.asarray(goals)[None],
+            jnp.ones((1, G), bool),
+            packed,
+            _as_batch_sampler(sampler, self.spec.dimension),
+        )
+        ns = time.perf_counter_ns() - t0
+        n = int(res.path_length[0]) if bool(res.solved[0]) else 0
+        return PlanningResult(
+            path=np.asarray(res.path[0])[:n],
+            cost=float(res.cost[0]),
+            nanoseconds=ns,
+            iterations=int(res.iterations[0]),
+            size=[int(res.graph_size[0]), 0],
+        )
+
+    fcit_multi_goal = fcit
+
     def roadmap(self, start, goal, env, settings: RoadmapSettings, sampler=None):
         """Full roadmap construction (reference PRM::build_roadmap)."""
         from .planners.prm import make_prm_grow
@@ -424,8 +491,16 @@ def configure_robot_and_planner_with_kwargs(robot_name: str, planner_name: str, 
         )
     elif planner_name in ("prm", "roadmap"):
         plan_settings = RoadmapSettings(max_iterations=4096, max_samples=4096)
+    elif planner_name == "fcit":
+        plan_settings = RoadmapSettings(
+            max_iterations=8, max_samples=600, batch_size=64
+        )
     elif planner_name == "aorrtc":
-        plan_settings = AORRTCSettings()
+        plan_settings = AORRTCSettings(
+            max_iterations=2000,
+            max_samples=2048,
+            rrtc=RRTCSettings(range=ROBOT_RRT_RANGES.get(robot_name, 2.0)),
+        )
     else:
         raise NotImplementedError(
             f"Automatic setup for planner {planner_name} is not implemented yet!"
