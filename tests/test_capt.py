@@ -1,0 +1,66 @@
+"""CAPT pointcloud collision: property tests vs. brute force, and
+integration through fkcc/environment (SURVEY §4 implication (b))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vamp_tpu.env import Environment
+from vamp_tpu.ops.capt import build_capt, capt_collides_bm
+from vamp_tpu.ops.fkcc_bm import make_fkcc
+from vamp_tpu.robots.descriptions import load_robot
+
+
+def brute_force(points, centers, radii, r_point):
+    d = np.linalg.norm(points[None, :, :] - centers[:, None, :], axis=2)
+    return np.any(d <= (radii[:, None] + r_point), axis=1)
+
+
+@pytest.mark.parametrize("n_points", [1, 7, 64, 500])
+def test_capt_matches_brute_force(n_points):
+    rng = np.random.RandomState(42 + n_points)
+    points = rng.uniform(-1, 1, (n_points, 3)).astype(np.float32)
+    r_min, r_max, r_point = 0.01, 0.3, 0.0025
+    capt = build_capt(points, r_min, r_max, r_point)
+
+    B = 512
+    centers = rng.uniform(-1.3, 1.3, (B, 3)).astype(np.float32)
+    radii = rng.uniform(r_min, r_max, B).astype(np.float32)
+
+    expected = brute_force(points, centers, radii, r_point)
+    got = np.asarray(
+        jax.jit(capt_collides_bm, static_argnums=())(
+            capt,
+            jnp.asarray(centers[:, 0])[None],
+            jnp.asarray(centers[:, 1])[None],
+            jnp.asarray(centers[:, 2])[None],
+            jnp.asarray(radii)[None],
+        )
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_capt_through_environment_fkcc():
+    """A pointcloud shell around the panda must flag collisions via fkcc."""
+    rng = np.random.RandomState(0)
+    # points on a sphere of radius 0.45 around the base — intersects the arm
+    dirs = rng.normal(size=(800, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    cloud = (dirs * 0.45 + np.array([0, 0, 0.3])).astype(np.float32)
+
+    e = Environment()
+    build_ns = e.add_pointcloud(cloud, 0.01, 0.2, 0.0025)
+    assert build_ns > 0
+    env = e.pack()
+
+    spec = load_robot("panda")
+    fkcc = jax.jit(make_fkcc(spec))
+    qs = jnp.asarray(
+        rng.uniform(spec.lower, spec.upper, (256, 7)).astype(np.float32)
+    )
+    with_cloud = np.asarray(fkcc(qs, env))
+    without = np.asarray(fkcc(qs, Environment().pack()))
+    # the cloud can only remove validity, and must actually hit some configs
+    assert np.all(~with_cloud | without)
+    assert with_cloud.sum() < without.sum()

@@ -173,7 +173,8 @@ class PackedEnvironment:
     attach_mask: jnp.ndarray  # (NA,) bool
     attach_pos: jnp.ndarray  # (3,) attachment frame rel. ee
     attach_rot: jnp.ndarray  # (3,3)
-    # CAPT pointcloud arrays are added by ops/capt.py when present.
+    # CAPT pointcloud trees (ops/capt.py); tuple of CAPT pytrees
+    capts: tuple = ()
 
     @property
     def has_attachments(self) -> bool:
@@ -328,6 +329,7 @@ class Environment:
             attach_mask=jnp.asarray(attach_mask),
             attach_pos=jnp.asarray(attach_pos),
             attach_rot=jnp.asarray(attach_rot),
+            capts=tuple(self.pointclouds),
         )
 
 

@@ -1,42 +1,211 @@
 """CAPT: Collision-Affording Point Tree for pointcloud collision queries.
 
-Redesign of the reference's CAPT (collision/capt.hh, paper arXiv:2406.02807)
-for TPU: the build stays on the host (implicit balanced kd-tree over points
-padded to a power of two, per-leaf bounded "affordance buffers"); the query
-becomes a vectorized gather-descend over a (batch, sphere) grid — fixed-depth
-index arithmetic `idx = 2*idx + 1 + (c >= test)` followed by a fixed-size
-gather + mask-reduce, which is exactly the memory-access shape TPUs like.
+Redesign of the reference CAPT (collision/capt.hh, paper arXiv:2406.02807)
+for TPU:
 
-Host build is implemented in numpy with an optional C++ fast path
-(vamp_tpu/native). Placeholder query API present from the start so the
-environment kernels can compose; full implementation lands with the
-pointcloud milestone.
+- BUILD (host, numpy; mirrors capt.hh:327-398): points pad to 2^k with +inf
+  sentinels; median splits on cyclic dimensions produce a heap-ordered test
+  array; each leaf (one representative point) carries an "affordance buffer"
+  — every point within r_max + r_point of the leaf cell — plus an AABB.
+  Affordance buffers are padded to the max leaf occupancy so the device query
+  is a fixed-size gather (the bounded-candidate-list design is exactly what
+  makes CAPT TPU-amenable, SURVEY §2.2).
+
+- QUERY (device, batch-minor): all query spheres descend the implicit tree in
+  lockstep — nlog2 rounds of `idx = 2*idx + 1 + (c >= tests[idx])` with the
+  split dimension cycling x,y,z (capt.hh:457-541) — then one fixed-size
+  gather of the leaf's affordance points and a mask-reduce. No pointer
+  chasing; per-level work is one gather + one compare over the whole batch.
+
+Queries must use radii within [r_min, r_max] (same contract as the
+reference). Collision iff any tree point lies within r + r_point.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
+import numpy as np
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+FAR = 1.0e9
 
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class CAPT:
-    """Device arrays for a built point tree (see build_capt)."""
-
-    test_values: jnp.ndarray  # (n_internal,) split coordinates, heap order
-    test_axes: jnp.ndarray  # (n_internal,) int32 split axes
-    leaf_points: jnp.ndarray  # (n_leaves, max_aff, 3) affordance buffers
-    leaf_mask: jnp.ndarray  # (n_leaves, max_aff) bool
-    point_radius: jnp.ndarray  # () float32
+    tests: jnp.ndarray  # (2^k - 1,) split values, heap order
+    leaf_points: jnp.ndarray  # (n_leaves, max_aff, 3) affordance buffers (FAR padded)
+    leaf_aabb: jnp.ndarray  # (n_leaves, 2, 3) lower/upper
+    top_aabb: jnp.ndarray  # (2, 3)
+    point_radius: jnp.ndarray  # () f32
+    nlog2: int = field(metadata=dict(static=True), default=0)  # descent depth
 
 
 def build_capt(points: np.ndarray, r_min: float, r_max: float, point_radius: float) -> CAPT:
-    raise NotImplementedError("CAPT build lands with the pointcloud milestone")
+    """Host-side tree construction (numpy port of the reference's recursive
+    subdivide, capt.hh:137-325, without the per-leaf internal-ball skip — a
+    pure pruning optimization)."""
+    points = np.asarray(points, np.float32).reshape(-1, 3)
+    n = len(points)
+    assert n > 0, "empty pointcloud"
+
+    from ..native import native_capt_build
+
+    nat = native_capt_build(points, r_max, point_radius)
+    if nat is not None:
+        tests_n, leaf_points_n, leaf_aabb_n, nlog2_n = nat
+        return CAPT(
+            tests=jnp.asarray(tests_n),
+            leaf_points=jnp.asarray(leaf_points_n),
+            leaf_aabb=jnp.asarray(leaf_aabb_n),
+            top_aabb=jnp.asarray(np.stack([points.min(axis=0), points.max(axis=0)])),
+            point_radius=jnp.float32(point_radius),
+            nlog2=int(nlog2_n),
+        )
+
+    nlog2 = 0
+    while (1 << nlog2) < n:
+        nlog2 += 1
+    n_pad = 1 << nlog2
+    pts = np.full((n_pad, 3), np.inf, np.float32)
+    pts[:n] = points
+
+    max_aff_l1 = r_max + point_radius
+    tests = np.zeros(max(n_pad - 1, 1), np.float32)
+    n_leaves = n_pad
+    leaf_lists = [None] * n_leaves
+    leaf_aabbs = np.zeros((n_leaves, 2, 3), np.float32)
+    finite = points  # all real points
+
+    order = np.arange(n_pad)
+
+    def affords(cell_lo, cell_hi, cand):
+        """Points within max_aff_l1 (L2) of the cell box."""
+        if len(cand) == 0:
+            return cand
+        p = pts[cand]
+        d = np.maximum(cell_lo - p, 0) + np.maximum(p - cell_hi, 0)
+        return cand[np.sum(d * d, axis=1) <= max_aff_l1 * max_aff_l1]
+
+    lo0 = np.full(3, -np.inf, np.float32)
+    hi0 = np.full(3, np.inf, np.float32)
+
+    stack = [(0, n_pad, 0, np.arange(n_pad), lo0, hi0, 0)]
+    while stack:
+        begin, count, ti, afford, lo, hi, d = stack.pop()
+        if count == 1:
+            z = ti - (n_pad - 1)
+            rep = pts[order[begin]]
+            if np.isfinite(rep[0]):
+                cand = afford[np.isfinite(pts[afford, 0])]
+                p = pts[cand]
+                dd = np.maximum(lo - p, 0) + np.maximum(p - hi, 0)
+                keep = cand[np.sum(dd * dd, axis=1) <= max_aff_l1 * max_aff_l1]
+                lst = np.unique(np.concatenate([[order[begin]], keep]))
+                leaf_lists[z] = pts[lst]
+                leaf_aabbs[z, 0] = pts[lst].min(axis=0)
+                leaf_aabbs[z, 1] = pts[lst].max(axis=0)
+            else:
+                leaf_lists[z] = np.zeros((0, 3), np.float32)
+                leaf_aabbs[z, 0] = FAR
+                leaf_aabbs[z, 1] = FAR
+            continue
+
+        seg = order[begin : begin + count]
+        seg_sorted = seg[np.argsort(pts[seg, d], kind="stable")]
+        order[begin : begin + count] = seg_sorted
+        half = count // 2
+        test = (pts[seg_sorted[half - 1], d] + pts[seg_sorted[half], d]) / 2.0
+        if not np.isfinite(test):
+            test = FAR
+        tests[ti] = test
+
+        in_range = afford[
+            (pts[afford, d] >= test - max_aff_l1) | (pts[afford, d] <= test + max_aff_l1)
+        ]
+        lo_aff = afford[pts[afford, d] <= test + max_aff_l1]
+        hi_aff = afford[pts[afford, d] >= test - max_aff_l1]
+        # points crossing from the sibling half
+        lo_aff = np.unique(np.concatenate([lo_aff, seg_sorted[half:][
+            pts[seg_sorted[half:], d] <= test + max_aff_l1
+        ]]))
+        hi_aff = np.unique(np.concatenate([hi_aff, seg_sorted[:half][
+            pts[seg_sorted[:half], d] >= test - max_aff_l1
+        ]]))
+
+        lo_hi = hi.copy()
+        lo_hi[d] = test
+        hi_lo = lo.copy()
+        hi_lo[d] = test
+        nd = (d + 1) % 3
+        stack.append((begin, half, 2 * ti + 1, lo_aff, lo, lo_hi, nd))
+        stack.append((begin + half, count - half, 2 * ti + 2, hi_aff, hi_lo, hi, nd))
+
+    max_aff = max(1, max(len(l) for l in leaf_lists))
+    leaf_points = np.full((n_leaves, max_aff, 3), FAR, np.float32)
+    for z, lst in enumerate(leaf_lists):
+        if len(lst):
+            leaf_points[z, : len(lst)] = lst
+
+    top_lo = finite.min(axis=0)
+    top_hi = finite.max(axis=0)
+
+    return CAPT(
+        tests=jnp.asarray(np.where(np.isfinite(tests), tests, FAR)),
+        leaf_points=jnp.asarray(leaf_points),
+        leaf_aabb=jnp.asarray(leaf_aabbs),
+        top_aabb=jnp.asarray(np.stack([top_lo, top_hi])),
+        point_radius=jnp.float32(point_radius),
+        nlog2=nlog2,
+    )
+
+
+def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
+    """Batch-minor query: xs/ys/zs (S, *batch); radii_col broadcastable.
+    Returns (*batch,) bool — any query sphere hits any tree point."""
+    coords = (xs, ys, zs)
+    r_eff = radii_col + capt.point_radius
+    rsq = r_eff * r_eff
+
+    # top-level AABB prune
+    lo, hi = capt.top_aabb[0], capt.top_aabb[1]
+    inb = jnp.ones(xs.shape, bool)
+    for k in range(3):
+        inb = inb & (coords[k] + r_eff >= lo[k]) & (coords[k] - r_eff <= hi[k])
+
+    # lockstep descent (capt.hh:457-541)
+    idx = jnp.zeros(xs.shape, jnp.int32)
+    for level in range(capt.nlog2):
+        k = level % 3
+        t = capt.tests[idx]
+        idx = 2 * idx + 1 + (coords[k] >= t).astype(jnp.int32)
+    z = idx - capt.tests.shape[0]
+
+    # leaf AABB prune (point-fattened)
+    albl = capt.leaf_aabb[z]  # (..., 2, 3)
+    dsq = 0.0
+    for k in range(3):
+        c = coords[k]
+        cl = jnp.clip(c, albl[..., 0, k], albl[..., 1, k])
+        dsq = dsq + (c - cl) ** 2
+    inb = inb & (dsq <= rsq)
+
+    # affordance-buffer scan: fixed-size gather + mask-reduce
+    pts = capt.leaf_points[z]  # (..., max_aff, 3)
+    dx = pts[..., 0] - xs[..., None]
+    dy = pts[..., 1] - ys[..., None]
+    dz = pts[..., 2] - zs[..., None]
+    hit = jnp.any(dx * dx + dy * dy + dz * dz <= rsq[..., None], axis=-1)
+    hit = hit & inb
+    return jnp.any(hit, axis=0)
 
 
 def capt_collides(capt: CAPT, centers, radii):
-    raise NotImplementedError("CAPT query lands with the pointcloud milestone")
+    """Lane-major convenience: centers (..., S, 3), radii (..., S)."""
+    xs = jnp.moveaxis(centers[..., 0], -1, 0)
+    ys = jnp.moveaxis(centers[..., 1], -1, 0)
+    zs = jnp.moveaxis(centers[..., 2], -1, 0)
+    r = jnp.moveaxis(jnp.broadcast_to(radii, centers.shape[:-1]), -1, 0)
+    return capt_collides_bm(capt, xs, ys, zs, r)

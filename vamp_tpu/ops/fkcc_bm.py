@@ -319,11 +319,15 @@ def _env_hits_bm(xs, ys, zs, radii_col, env: PackedEnvironment, batched_env: boo
             h = (zs - radii_col - zhs < 0) & p(env.hf_mask, i)
             hit = hit | jnp.any(h, axis=0)
 
-    capts = getattr(env, "capts", None)
-    if capts:
+    if env.capts:
         from .capt import capt_collides_bm
 
-        for capt in capts:
+        if batched_env:
+            raise NotImplementedError(
+                "pointcloud (CAPT) checks with per-lane batched envs are not "
+                "supported yet — share one env across lanes"
+            )
+        for capt in env.capts:
             hit = hit | capt_collides_bm(capt, xs, ys, zs, radii_col)
 
     return hit
