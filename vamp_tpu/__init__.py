@@ -35,6 +35,13 @@ from .robots.descriptions import (
     ROBOT_NAMES,
     ROBOT_RRT_RANGES,
 )
+from .multi_robot import (
+    MultiRobotPlanningResult,
+    MultiRobotSystem,
+    Robot,
+    RobotFactory,
+)
+from .robots.composite import bake_base, make_composite_spec
 from .utils.settings import (
     AORRTCSettings,
     BSplineSettings,

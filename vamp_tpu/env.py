@@ -173,6 +173,11 @@ class PackedEnvironment:
     attach_mask: jnp.ndarray  # (NA,) bool
     attach_pos: jnp.ndarray  # (3,) attachment frame rel. ee
     attach_rot: jnp.ndarray  # (3,3)
+    # Vectorized sphere cloud: many-sphere obstacle sets (e.g. swept robot
+    # volumes for prioritized multi-robot planning) checked as one batched
+    # chunked kernel instead of per-slot unrolled shapes. (M, 4) xyzr.
+    cloud_xyzr: jnp.ndarray = field(default_factory=lambda: jnp.zeros((0, 4), jnp.float32))
+    cloud_mask: jnp.ndarray = field(default_factory=lambda: jnp.zeros((0,), bool))
     # CAPT pointcloud trees (ops/capt.py); tuple of CAPT pytrees
     capts: tuple = ()
 
@@ -196,6 +201,7 @@ class Environment:
         self.heightfields: List[HeightField] = []
         self.attachment: Optional[Attachment] = None
         self.pointclouds: List = []  # CAPT objects (ops/capt.py)
+        self.clouds: List[np.ndarray] = []  # (M, 4) xyzr sphere clouds
 
     # -- builder API -------------------------------------------------------
     def add_sphere(self, sphere: Sphere):
@@ -228,6 +234,13 @@ class Environment:
         start = time.perf_counter_ns()
         self.pointclouds.append(build_capt(np.asarray(points, np.float32), r_min, r_max, point_radius))
         return float(time.perf_counter_ns() - start)
+
+    def add_sphere_cloud(self, centers, radii):
+        """Add a batch of spheres checked as one vectorized cloud (no per-slot
+        unrolling; for swept robot volumes / very many spheres)."""
+        centers = np.asarray(centers, np.float32).reshape(-1, 3)
+        radii = np.broadcast_to(np.asarray(radii, np.float32), centers.shape[:1])
+        self.clouds.append(np.concatenate([centers, radii[:, None]], axis=1))
 
     def sort(self):
         """No-op for API parity: sorted early-exit (reference
@@ -308,6 +321,16 @@ class Environment:
             attach_pos = att.pos.astype(np.float32)
             attach_rot = att.rot.astype(np.float32)
 
+        n_cloud = sum(c.shape[0] for c in self.clouds)
+        mcap = max(_round_capacity(n_cloud, 128) if n_cloud else 0, caps.get("cloud", 0))
+        cloud_xyzr = np.full((mcap, 4), FAR, np.float32)
+        cloud_xyzr[:, 3] = 0.0
+        cloud_mask = np.zeros(mcap, bool)
+        if n_cloud:
+            cat = np.concatenate(self.clouds, axis=0)
+            cloud_xyzr[:n_cloud] = cat
+            cloud_mask[:n_cloud] = True
+
         return PackedEnvironment(
             sphere_xyzr=jnp.asarray(sphere_xyzr),
             sphere_mask=jnp.asarray(sphere_mask),
@@ -329,6 +352,8 @@ class Environment:
             attach_mask=jnp.asarray(attach_mask),
             attach_pos=jnp.asarray(attach_pos),
             attach_rot=jnp.asarray(attach_rot),
+            cloud_xyzr=jnp.asarray(cloud_xyzr),
+            cloud_mask=jnp.asarray(cloud_mask),
             capts=tuple(self.pointclouds),
         )
 

@@ -89,6 +89,23 @@ def spheres_vs_heightfields(centers, radii, env: PackedEnvironment):
     return jnp.any(hits, axis=-1)
 
 
+def spheres_vs_cloud(centers, radii, env: PackedEnvironment):
+    """Vectorized many-sphere obstacle cloud (swept robot volumes etc.):
+    chunked so the (..., S, chunk) temp stays bounded for large clouds."""
+    M = env.cloud_mask.shape[0]
+    if not M:
+        return jnp.zeros(centers.shape[:-2], bool)
+    out = jnp.zeros(centers.shape[:-2], bool)
+    for m0 in range(0, M, 512):
+        c = env.cloud_xyzr[m0 : m0 + 512]  # (C, 4)
+        d = centers[..., :, None, :] - c[None, :, :3]  # (..., S, C, 3)
+        sq = jnp.sum(d * d, axis=-1)
+        rs = radii[..., :, None] + c[None, :, 3]
+        hit = (sq - rs * rs < 0) & env.cloud_mask[m0 : m0 + 512][None, :]
+        out = out | jnp.any(hit, axis=(-1, -2))
+    return out
+
+
 def spheres_vs_pointclouds(centers, radii, env: PackedEnvironment):
     from .capt import capt_collides  # local import to avoid cycle
 
@@ -110,6 +127,7 @@ def spheres_in_environment(centers, radii, env: PackedEnvironment):
     hit = hit | spheres_vs_capsules(centers, radii, env)
     hit = hit | spheres_vs_cuboids(centers, radii, env)
     hit = hit | spheres_vs_heightfields(centers, radii, env)
+    hit = hit | spheres_vs_cloud(centers, radii, env)
     hit = hit | spheres_vs_pointclouds(centers, radii, env)
     return hit
 

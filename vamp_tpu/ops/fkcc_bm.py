@@ -319,6 +319,34 @@ def _env_hits_bm(xs, ys, zs, radii_col, env: PackedEnvironment, batched_env: boo
             h = (zs - radii_col - zhs < 0) & p(env.hf_mask, i)
             hit = hit | jnp.any(h, axis=0)
 
+    M = env.cloud_mask.shape[-1]
+    if M:
+        # Vectorized sphere cloud, chunked so the (S, C, *batch) temp stays
+        # bounded. Padded entries sit at FAR with radius 0 (mask redundant but
+        # kept for stacked lane-batched envs with differing live counts).
+        bshape = xs.shape[1:]
+        if batched_env:
+            L = env.cloud_xyzr.shape[0]
+            c_all = jnp.moveaxis(env.cloud_xyzr, 0, -1)  # (M, 4, L)
+            m_all = jnp.moveaxis(env.cloud_mask, 0, -1)  # (M, L)
+            tail = (1,) * (len(bshape) - 1) + (L,)
+        else:
+            c_all, m_all = env.cloud_xyzr, env.cloud_mask
+            tail = (1,) * len(bshape)
+        for m0 in range(0, M, 128):
+            k = min(128, M - m0)
+            ex = c_all[m0 : m0 + k, 0].reshape((1, k) + tail)
+            ey = c_all[m0 : m0 + k, 1].reshape((1, k) + tail)
+            ez = c_all[m0 : m0 + k, 2].reshape((1, k) + tail)
+            er = c_all[m0 : m0 + k, 3].reshape((1, k) + tail)
+            cm = m_all[m0 : m0 + k].reshape((1, k) + tail)
+            dx = xs[:, None] - ex
+            dy = ys[:, None] - ey
+            dz = zs[:, None] - ez
+            rs = radii_col[:, None] + er
+            h = (dx * dx + dy * dy + dz * dz - rs * rs < 0) & cm
+            hit = hit | jnp.any(h, axis=(0, 1))
+
     if env.capts:
         from .capt import capt_collides_bm
 
