@@ -201,3 +201,38 @@ def test_factory_surface():
     # a Robot is a full RobotModule: fk/eefk/validate work at the offset base
     spheres = r.fk(PANDA_HOME)
     assert all(abs(s.position[0] - 2.0) < 1.5 for s in spheres)
+
+
+def test_cbs_planning_two_pandas(two_panda_system):
+    sys2 = two_panda_system
+    start_a = PANDA_HOME
+    goal_a = np.array([0.8, 0.3, 0.0, -1.2, 0.0, 1.571, 0.785], np.float32)
+    start_b = PANDA_HOME
+    goal_b = np.array([-0.8, 0.3, 0.0, -1.2, 0.0, 1.571, 0.785], np.float32)
+    res = sys2.plan(
+        [start_a, start_b], [goal_a, goal_b], method="cbs", fallback=False
+    )
+    _check_result(sys2, res, [start_a, start_b], [goal_a, goal_b])
+    assert res.method == "cbs"
+
+
+def test_cbs_resolves_forced_conflict():
+    """Two point-sphere robots swapping positions along one axis MUST conflict
+    on the straight line; CBS has to produce synchronized avoiding paths."""
+    from vamp_tpu.planners.cbs import cbs_plan
+    from vamp_tpu.utils.settings import RoadmapSettings
+
+    a = Robot("sphere")
+    b = Robot("sphere")
+    sys2 = MultiRobotSystem([a, b])
+    start_a, goal_a = np.array([-1.0, 0, 1.0], np.float32), np.array([1.0, 0, 1.0], np.float32)
+    start_b, goal_b = goal_a.copy(), start_a.copy()
+    res = sys2.plan(
+        [start_a, start_b],
+        [goal_a, goal_b],
+        method="cbs",
+        fallback=False,
+        settings=RoadmapSettings(max_iterations=256, max_samples=256),
+    )
+    assert res.solved
+    _check_result(sys2, res, [start_a, start_b], [goal_a, goal_b])

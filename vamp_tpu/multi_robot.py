@@ -194,6 +194,19 @@ def _resample_path(path: np.ndarray, n: int) -> np.ndarray:
     return path[idx] + frac[:, None] * (path[idx + 1] - path[idx])
 
 
+def _resample_timeline(path: np.ndarray, n: int) -> np.ndarray:
+    """Resample uniformly in STEP INDEX (not arc length): CBS paths are
+    synchronized per timestep, so index-space interpolation preserves the
+    cross-robot synchronization (including waits)."""
+    T = len(path)
+    if T == 1:
+        return np.repeat(path, n, axis=0)
+    s = np.linspace(0.0, T - 1.0, n)
+    i0 = np.clip(np.floor(s).astype(np.int64), 0, T - 2)
+    frac = (s - i0)[:, None].astype(np.float32)
+    return path[i0] * (1.0 - frac) + path[i0 + 1] * frac
+
+
 class MultiRobotSystem:
     """A team of robots sharing one static environment (the fork's
     MultiRobotEnvironment, MR_DEV_PLAN.md:178-198)."""
@@ -281,16 +294,22 @@ class MultiRobotSystem:
         method="composite": coupled planning in the product space.
         method="prioritized": sequential planning with swept-volume obstacles;
         falls back to composite when some robot fails and `fallback` is set.
+        method="cbs": Conflict-Based Search over per-robot PRM roadmaps
+        (planners/cbs.py); resolves robot-robot conflicts optimally on the
+        roadmaps; falls back to composite when budgets exhaust.
         """
         if method == "composite":
             return self._plan_composite(
                 starts, goals, planner, settings, simplify, simplify_settings, timeline_states
             )
-        if method == "prioritized":
-            res = self._plan_prioritized(
-                starts, goals, planner, settings, simplify, simplify_settings, priorities,
-                timeline_states,
-            )
+        if method in ("prioritized", "cbs"):
+            if method == "prioritized":
+                res = self._plan_prioritized(
+                    starts, goals, planner, settings, simplify, simplify_settings, priorities,
+                    timeline_states,
+                )
+            else:
+                res = self._plan_cbs(starts, goals, settings, timeline_states)
             if not res.solved and fallback:
                 comp = self._plan_composite(
                     starts, goals, planner, settings, simplify, simplify_settings, timeline_states
@@ -298,7 +317,24 @@ class MultiRobotSystem:
                 comp.nanoseconds += res.nanoseconds
                 return comp
             return res
-        raise ValueError(f"unknown method {method!r} (composite | prioritized)")
+        raise ValueError(f"unknown method {method!r} (composite | prioritized | cbs)")
+
+    def _plan_cbs(self, starts, goals, settings, timeline_states) -> MultiRobotPlanningResult:
+        from .planners.cbs import cbs_plan
+        from .utils.settings import RoadmapSettings
+
+        rs = settings if isinstance(settings, RoadmapSettings) else None
+        t0 = time.perf_counter_ns()
+        out = cbs_plan(self.robots, starts, goals, self.environment, roadmap_settings=rs)
+        ns = time.perf_counter_ns() - t0
+        if out is None:
+            return MultiRobotPlanningResult(False, [], float("inf"), ns, 0, "cbs")
+        paths, cost, expansions = out
+        # CBS paths are per-timestep synchronized already; resample only to
+        # densify the shared timeline.
+        T = max(timeline_states, max(len(p) for p in paths))
+        paths = [_resample_timeline(np.asarray(p, np.float32), T) for p in paths]
+        return MultiRobotPlanningResult(True, paths, float(cost), ns, expansions, "cbs")
 
     def _plan_composite(
         self, starts, goals, planner, settings, simplify, simplify_settings, timeline_states
