@@ -21,9 +21,13 @@ from .env import (
 )
 from .api import (
     HaltonSampler,
+    PHSSampler,
     PlanningResult,
+    ProlateHyperspheroid,
     RobotModule,
+    XORShiftSampler,
     configure_robot_and_planner_with_kwargs,
+    png_to_heightfield,
     problem_dict_to_vamp,
     results_to_dict,
     robot_module,

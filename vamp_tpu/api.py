@@ -104,6 +104,98 @@ def _as_batch_sampler(sampler: Optional[HaltonSampler], dim: int) -> Optional[Ha
     )
 
 
+class XORShiftSampler:
+    """Stateful xorshift128+ RNG wrapper (reference binding `xorshift`,
+    bindings/common.hh:579-584; x86-only there, portable here)."""
+
+    def __init__(self, dim: int, seed: int = 2, seed2: int = 3):
+        from .samplers.xorshift import xorshift_init, xorshift_next
+
+        self.dim = dim
+        self._seeds = (seed, seed2)
+        self._init = xorshift_init
+        self._next = jax.jit(lambda s: xorshift_next(s, dim))
+        self.state = xorshift_init(seed, seed2)
+
+    def reset(self):
+        self.state = self._init(*self._seeds)
+
+    def skip(self, n: int):
+        for _ in range(int(n)):
+            _, self.state = self._next(self.state)
+
+    def next(self) -> np.ndarray:
+        out, self.state = self._next(self.state)
+        return np.asarray(out)
+
+
+class ProlateHyperspheroid:
+    """Host-side PHS (reference planning/phs.hh:35-142 via the binding class):
+    informed-sampling ellipsoid with foci at start/goal and a settable
+    transverse diameter."""
+
+    def __init__(self, start, goal):
+        self.start = np.asarray(start, np.float32)
+        self.goal = np.asarray(goal, np.float32)
+        self.min_transverse = float(np.linalg.norm(self.goal - self.start))
+        self.transverse = self.min_transverse
+
+    def set_transverse_diameter(self, d: float):
+        self.transverse = max(float(d), self.min_transverse)
+
+
+class PHSSampler:
+    """Informed sampler: uniform in the PHS, descaled to the unit cube and
+    clamped (reference planning/phs.hh:144-189). `next()` returns unit-cube
+    samples like every other RNG binding."""
+
+    def __init__(self, spec: RobotSpec, phs: ProlateHyperspheroid, seed: int = 0):
+        from .samplers.phs import phs_init, phs_transform, uniform_in_ball
+
+        self.spec = spec
+        self.phs = phs
+        self._seed = seed
+        self._rng = np.random.default_rng(seed)
+        s = jnp.asarray(phs.start)[None]
+        g = jnp.asarray(phs.goal)[None]
+        state = phs_init(s, g)
+
+        def draw(u_dir, u_rad, transverse):
+            ball = uniform_in_ball(u_dir, u_rad)
+            return phs_transform(state, ball, transverse)
+
+        self._draw = jax.jit(draw)
+
+    def reset(self):
+        self._rng = np.random.default_rng(self._seed)
+
+    def skip(self, n: int):
+        for _ in range(int(n)):
+            self.next()
+
+    def next(self) -> np.ndarray:
+        dim = self.spec.dimension
+        u_dir = jnp.asarray(self._rng.uniform(size=(dim, 1)).astype(np.float32))
+        u_rad = jnp.asarray(self._rng.uniform(size=(1,)).astype(np.float32))
+        q = np.asarray(self._draw(u_dir, u_rad, jnp.asarray([self.phs.transverse])))[:, 0]
+        u = (q - self.spec.lower) / self.spec.range
+        return np.clip(u, 0.0, 1.0)
+
+
+def png_to_heightfield(filename, center, scaling) -> HeightField:
+    """Load a grayscale PNG as a heightfield (reference
+    src/vamp/__init__.py:65-77: luminance/255, flipped on y)."""
+    from PIL import Image
+
+    image = Image.open(filename).convert("L")
+    array = np.flip(np.asarray(image).astype(np.float32) / 255.0, axis=0)
+    return HeightField(
+        origin=np.asarray(center, np.float32),
+        scale=np.asarray(scaling, np.float32),
+        data=array,
+    )
+
+
 class RobotModule:
     """Per-robot API object (the analogue of `vamp.panda` etc.)."""
 
@@ -161,6 +253,69 @@ class RobotModule:
     # -- samplers ------------------------------------------------------------
     def halton(self) -> HaltonSampler:
         return HaltonSampler(self.spec.dimension)
+
+    def xorshift(self, seed: int = 2, seed2: int = 3) -> XORShiftSampler:
+        return XORShiftSampler(self.spec.dimension, seed, seed2)
+
+    def phs_sampler(self, phs: ProlateHyperspheroid, seed: int = 0) -> PHSSampler:
+        return PHSSampler(self.spec, phs, seed)
+
+    # -- debug / utility surface ----------------------------------------------
+    def sphere_validate(self, config, env: Environment) -> List[List[str]]:
+        """Per-robot-sphere list of colliding environment object names
+        (reference `sphere_validity`, bindings/common.hh:154-170 →
+        sphere_environment_get_collisions, collision/validity.hh:153-249).
+        Host-side debug path — not for the planning hot loop."""
+        spheres = self.fk(config)
+        out: List[List[str]] = []
+        for si, s in enumerate(spheres):
+            p = np.asarray(s.center, np.float32)
+            r = float(self.spec.sphere_radius[si])
+            names: List[str] = []
+            for j, o in enumerate(env.spheres):
+                c = np.asarray(o.center, np.float32)
+                if np.sum((p - c) ** 2) < (r + o.radius) ** 2:
+                    names.append(o.name or f"sphere_{j}")
+            for j, o in enumerate(env.capsules):
+                x1 = np.asarray(o.x1, np.float32)
+                xv = np.asarray(o.xv, np.float32)
+                t = np.clip(np.dot(p - x1, xv) / max(float(np.dot(xv, xv)), 1e-12), 0.0, 1.0)
+                if np.sum((p - (x1 + t * xv)) ** 2) < (r + o.radius) ** 2:
+                    names.append(o.name or f"capsule_{j}")
+            for j, o in enumerate(env.cuboids):
+                d = p - np.asarray(o.center, np.float32)
+                proj = np.asarray(o.axes, np.float32) @ d
+                a = np.maximum(np.abs(proj) - np.asarray(o.half_extents, np.float32), 0.0)
+                if float(np.sum(a * a)) < r * r:
+                    names.append(o.name or f"cuboid_{j}")
+            for j, o in enumerate(env.heightfields):
+                yd, xd = o.data.shape
+                ix = int(np.clip(np.floor(o.scale[0] * (o.origin[0] - p[0]) + xd // 2), 0, xd - 1))
+                iy = int(np.clip(np.floor(o.scale[1] * (o.origin[1] - p[1]) + yd // 2), 0, yd - 1))
+                if p[2] - r < o.scale[2] * o.data[iy, ix] + o.origin[2]:
+                    names.append(o.name or f"heightfield_{j}")
+            for j, cloud in enumerate(env.clouds):
+                d2 = np.sum((cloud[:, :3] - p) ** 2, axis=1)
+                if bool(np.any(d2 < (cloud[:, 3] + r) ** 2)):
+                    names.append(f"cloud_{j}")
+            if env.pointclouds:
+                from .ops.capt import capt_collides
+
+                for j, capt in enumerate(env.pointclouds):
+                    hit = capt_collides(
+                        capt, jnp.asarray(p)[None, None], jnp.asarray([[r]], jnp.float32)
+                    )
+                    if bool(np.asarray(hit)[0]):
+                        names.append(f"pointcloud_{j}")
+            out.append(names)
+        return out
+
+    def filter_self_from_pointcloud(self, pc, configuration, env=None, point_radius=POINT_RADIUS):
+        """Remove points lying on the robot (+ attachment) itself (reference
+        binding `filter_self_from_pointcloud`, bindings/common.hh:36-87)."""
+        from .pointcloud import filter_robot_from_pointcloud
+
+        return filter_robot_from_pointcloud(self.spec, pc, configuration, env, point_radius)
 
     # -- planners ------------------------------------------------------------
     def rrtc(self, start, goal, env, settings: RRTCSettings, sampler=None) -> PlanningResult:

@@ -161,7 +161,7 @@ def filter_robot_from_pointcloud(robot: str, pc, configuration, env=None, point_
 
     from .ops.fkcc_bm import make_sphere_fk_bm
 
-    spec = load_robot(robot)
+    spec = robot if not isinstance(robot, str) else load_robot(robot)
     fk = make_sphere_fk_bm(spec)
     q = jnp.asarray(np.asarray(configuration, np.float32))[:, None]
     xs, ys, zs = (np.asarray(v)[:, 0] for v in fk(q))
@@ -170,9 +170,6 @@ def filter_robot_from_pointcloud(robot: str, pc, configuration, env=None, point_
     d = np.linalg.norm(pts[:, None, :] - centers[None, :, :], axis=2)
     hit = np.any(d < (spec.sphere_radius[None, :] + point_radius), axis=1)
     if env is not None:
-        from .api import robot_module
-
-        mod = robot_module(robot)
         # env collision for each point as a tiny sphere
         from .ops import collision as C
 
