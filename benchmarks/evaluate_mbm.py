@@ -42,11 +42,38 @@ def load_problems(robot: str, sets=None):
     return out
 
 
+def racing_samplers(dim: int, L: int, replica):
+    """Deterministic per-replica Halton streams: replica 0 is the canonical
+    stream (reference parity); replica r rotates the prime-base assignment
+    (the reference itself rotates bases, halton.hh:76-82) and adds a modest
+    skip every 16 rotations. Base rotation is free; skips stay small so the
+    sequential halton_skip_batch cost is negligible."""
+    import jax.numpy as jnp
+    from vamp_tpu.samplers.halton import (
+        PRIMES,
+        HaltonState,
+        halton_skip_batch,
+    )
+
+    replica = np.asarray(replica, np.int64)
+    rot = replica % 16
+    b = PRIMES[(np.arange(dim)[:, None] + rot[None, :]) % len(PRIMES)]
+    state = HaltonState(
+        b=jnp.asarray(b, jnp.float32),
+        n=jnp.zeros((dim, L), jnp.float32),
+        d=jnp.ones((dim, L), jnp.float32),
+        iterations=jnp.zeros((L,), jnp.int32),
+    )
+    skips = (replica // 16) * 977
+    if skips.max() > 0:
+        state = halton_skip_batch(state, jnp.asarray(skips, jnp.int32))
+    return state
+
+
 def evaluate(
     robot: str = "panda",
     sets=None,
-    waves=(1000, 3000, 8000),
-    max_samples=(2048, 4096, 8192),
+    waves=((512, 1024, 1024), (1024, 2048, 1024), (4096, 8192, 1024)),
     quiet: bool = False,
     timed: bool = True,
 ):
@@ -109,14 +136,21 @@ def evaluate(
     solve_timed = 0.0
 
     t0 = time.perf_counter()
-    for wave, (max_iter, max_samp) in enumerate(zip(waves, max_samples)):
+    for wave, (max_iter, max_samp, L_target) in enumerate(waves):
         if len(pending) == 0:
             break
-        L = max(64, 1 << int(np.ceil(np.log2(len(pending)))))
-        idx = np.zeros(L, np.int64)
-        idx[: len(pending)] = pending
-        lane_live = np.zeros(L, bool)
-        lane_live[: len(pending)] = True
+        P = len(pending)
+        # racing: survivors re-batch with K independent sample streams each —
+        # lanes are nearly free on TPU, sequential planner steps are not, so
+        # wide-and-shallow beats narrow-and-deep for the straggler tail.
+        K = max(1, min(L_target // P, 256))
+        L = max(64, 1 << int(np.ceil(np.log2(P * K))))
+        lane_prob = np.full(L, -1, np.int64)
+        for pos, i in enumerate(pending):
+            lane_prob[pos * K : (pos + 1) * K] = i
+        idx = np.where(lane_prob >= 0, lane_prob, 0)
+        lane_live = lane_prob >= 0
+        replica = np.arange(L) % K
 
         settings = RRTCSettings(
             range=vamp.ROBOT_RRT_RANGES.get(robot, 2.0),
@@ -130,7 +164,7 @@ def evaluate(
             jnp.asarray(goals[idx])[:, None, :],
             jnp.asarray(lane_live)[:, None],
             envs_w,
-            halton_init_batch(dim, L),
+            racing_samplers(dim, L, replica),
         )
         if timed:
             solve(*args).solved.block_until_ready()  # compile + warm
@@ -142,17 +176,23 @@ def evaluate(
         ok = np.asarray(res.solved) & lane_live
         res_paths = np.asarray(res.path)
         res_lens = np.asarray(res.path_length)
-        for j in np.nonzero(ok)[0]:
-            i = idx[j]
+        res_cost = np.asarray(res.cost)
+        res_iter = np.asarray(res.iterations)
+        for pos, i in enumerate(pending):
+            lanes = np.arange(pos * K, (pos + 1) * K)
+            winners = lanes[ok[lanes]]
+            if len(winners) == 0:
+                continue
+            j = winners[0]  # smallest replica: replica 0 = canonical stream
             solved[i] = True
-            costs[i] = float(np.asarray(res.cost)[j])
-            iters[i] = int(np.asarray(res.iterations)[j])
+            costs[i] = float(res_cost[j])
+            iters[i] = int(res_iter[j])
             paths[i] = res_paths[j][: res_lens[j]]
         pending = np.array([i for i in pending if not solved[i]], np.int64)
         if not quiet:
             print(
-                f"wave {wave}: budget {max_iter}, solved {int(ok.sum())}/{int(lane_live.sum())}, "
-                f"remaining {len(pending)}"
+                f"wave {wave}: budget {max_iter}, x{K} streams, solved "
+                f"{P - len(pending)}/{P} in {wave_time*1e3:.0f}ms, remaining {len(pending)}"
             )
     solve_time = time.perf_counter() - t0
 

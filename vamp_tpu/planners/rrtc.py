@@ -12,10 +12,12 @@ problems:
   allocated per STEP, shared across lanes: every insertion is a
   `dynamic_update_slice` at one traced scalar slot — per-lane scatter
   (pathologically slow on TPU: ~4 ms per scatter at L=4096) never happens.
-  Lanes that don't insert on a step leave their column of that slot inactive.
-  Consequence: `max_samples` bounds SLOTS (loop steps), not inserted nodes —
-  a documented deviation from rrtc.hh:48-54's per-node buffer; tree content
-  and paths are unchanged;
+  Lanes that don't insert on a step leave their column of that slot inactive,
+  and a step where NO lane inserts doesn't consume the slot at all (the next
+  step overwrites it). Consequence: `max_samples` bounds insertion STEPS
+  (steps where at least one lane grew a tree) — between the reference's
+  per-node bound (rrtc.hh:48-54) and a raw step bound; tree content and
+  paths are unchanged;
 - nearest neighbor is a masked distance sweep over (N, L) with argmin on the
   slot axis; node reads use one-hot reductions (vector-friendly), never
   per-lane gathers in the hot loop;
@@ -269,9 +271,19 @@ def make_rrtc_batch(
             sample = u * scale[:, None] + lower[:, None]  # (dim, L)
 
             # -- nearest in tree_a (rrtc.hh:117-123) ------------------------
+            # Swept only when some lane is actually EXTENDing this step
+            # (CONNECT lanes don't use it) — the reference's per-iteration NN
+            # count, recovered with a whole-batch conditional.
             mask_a = slot_active & (in_tree == tree_a[None, :])
-            near_idx, near_dist, near_cfg, near_radius = nearest_and_cfg(
-                states, radii, mask_a, sample, slot
+            near_idx, near_dist, near_cfg, near_radius = lax.cond(
+                jnp.any(extend),
+                lambda: nearest_and_cfg(states, radii, mask_a, sample, slot),
+                lambda: (
+                    jnp.zeros((L,), jnp.int32),
+                    jnp.zeros((L,), jnp.float32),
+                    jnp.zeros((dim, L), jnp.float32),
+                    jnp.zeros((L,), jnp.float32),
+                ),
             )
             dd_reject = jnp.bool_(settings.dynamic_domain) & (near_radius < near_dist)
 
@@ -308,10 +320,20 @@ def make_rrtc_batch(
                 near_radius * (1.0 + settings.alpha),
                 jnp.where(shrink, shrunk, near_radius),
             )
-            oh_near = iota_N == near_idx[None, :]  # (N, L)
-            radii = jnp.where(oh_near & (grow | shrink)[None, :], r_new[None, :], radii)
+
+            def _radii_update():
+                oh_near = iota_N == near_idx[None, :]  # (N, L)
+                return jnp.where(
+                    oh_near & (grow | shrink)[None, :], r_new[None, :], radii
+                )
+
+            radii = lax.cond(jnp.any(grow | shrink), _radii_update, lambda: radii)
 
             # -- node insertion at the SHARED slot --------------------------
+            # The slot is consumed only when SOME lane inserts: a no-insert
+            # step leaves the slot inactive for every lane and the next step
+            # overwrites it, so trees stay dense and NN sweeps (bounded by the
+            # slot counter) only pay for steps that actually grew a tree.
             ins = ext_ok | con_ok
             node_parent = jnp.where(is_ext, near_idx, c["c_prior_idx"])
             states = lax.dynamic_update_slice(states, new_cfg[:, None, :], (0, slot, 0))
@@ -319,14 +341,24 @@ def make_rrtc_batch(
             in_tree = lax.dynamic_update_slice(in_tree, tree_a[None, :], (slot, 0))
             slot_active = lax.dynamic_update_slice(slot_active, ins[None, :], (slot, 0))
             node_id = slot
-            slot = slot + 1
+            slot = slot + jnp.any(ins).astype(jnp.int32)
             ta2_oh = jnp.stack([tree_a == 0, tree_a == 1]).astype(jnp.float32)
             sizes = sizes + ta2_oh * ins[None, :].astype(jnp.float32)
 
             # -- connect transitions (rrtc.hh:160-194) ----------------------
+            # The other-tree NN is only consumed by lanes that just completed
+            # a successful EXTEND (start_connect = ext_ok); skip the sweep
+            # entirely on steps where none did.
             mask_b = slot_active & (in_tree == (1 - tree_a)[None, :])
-            ob_idx, ob_dist, ob_cfg, _ = nearest_and_cfg(
-                states, radii, mask_b, new_cfg, slot
+            ob_idx, ob_dist, ob_cfg, _ = lax.cond(
+                jnp.any(ext_ok),
+                lambda: nearest_and_cfg(states, radii, mask_b, new_cfg, slot),
+                lambda: (
+                    jnp.zeros((L,), jnp.int32),
+                    jnp.zeros((L,), jnp.float32),
+                    jnp.zeros((dim, L), jnp.float32),
+                    jnp.zeros((L,), jnp.float32),
+                ),
             )
             n_ext = jnp.maximum(jnp.ceil(ob_dist / rng_range), 1.0)
             start_connect = ext_ok
