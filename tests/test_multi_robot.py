@@ -8,6 +8,9 @@ import pytest
 
 import vamp_tpu as vamp
 from vamp_tpu.multi_robot import MultiRobotSystem, Robot, RobotFactory, _swept_sphere_cloud
+
+pytestmark = pytest.mark.slow  # planner-heavy: ~8 min on the CPU mesh
+
 from vamp_tpu.ops.fkcc import make_fkcc
 from vamp_tpu.robots.composite import bake_base, make_composite_spec
 from vamp_tpu.robots.descriptions import load_robot
