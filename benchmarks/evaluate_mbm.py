@@ -2,15 +2,20 @@
 scripts/evaluate_mbm.py benchmark harness.
 
 Where the reference loops 700 problems on one core, this harness packs every
-problem into a lane of the batched planner and advances them all per device
-step, with wave compaction: a first wave at a modest iteration budget solves
-the bulk; survivors re-batch into smaller follow-up waves with bigger budgets
-(straggler lanes no longer hold the whole batch hostage).
+problem into a lane of the batched turbo planner (planners/rrtc_turbo) and
+advances them all per device step, with *geometric wave compaction*: a first
+wave at a small iteration budget solves the easy bulk; survivors re-batch
+into later waves whose budgets double and whose lane counts shrink, with
+racing replicas (independent, base-rotated Halton streams per problem —
+reference halton.hh:76-82 rotates bases itself) soaking up the freed lanes.
+Budget doubling bounds re-done work at <2x a problem's solve cost, and the
+loop of each wave ends the moment its slowest *winner* finishes (lanes whose
+problem is solved idle but never extend the wall clock).
 
-Per reference parity: every problem uses a fresh Halton stream
-(evaluate_mbm.py:95-96 resets the sampler per problem), RRTC range comes from
-ROBOT_RRT_RANGES, and simplification runs the default SHORTCUT+BSPLINE
-pipeline.
+Per reference parity: every problem's replica-0 stream is the canonical
+Halton stream (evaluate_mbm.py:95-96 resets the sampler per problem), RRTC
+range comes from ROBOT_RRT_RANGES, and simplification runs the default
+SHORTCUT+BSPLINE pipeline.
 
 Usage:
     python benchmarks/evaluate_mbm.py --robot panda
@@ -29,6 +34,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 DATA_DIR = Path(__file__).resolve().parent / "data"
 
+# (iteration budget, tree slots, max racing replicas, max lanes, repeats)
+# per wave. Slots ~ 1.3x budget (the shared-slot allocator consumes ~1 slot
+# per step; a step completes ~1 iteration). Step cost grows with slots x
+# lanes, so late waves shrink lanes hard and use *repeats*: re-running a
+# moderate budget with freshly rotated racing streams exploits the
+# heavy-tailed restart distribution instead of paying for one enormous tree
+# (whose NN sweeps grow quadratically in budget).
+DEFAULT_WAVES = (
+    (128, 192, 1, 1024, 1),
+    (512, 704, 3, 768, 1),
+    (1536, 2048, 8, 320, 1),
+    (1536, 2048, 24, 192, 4),
+    (6144, 8192, 48, 96, 1),
+)
+
 
 def load_problems(robot: str, sets=None):
     with gzip.open(DATA_DIR / f"{robot}_problems.pkl.gz") as f:
@@ -44,38 +64,27 @@ def load_problems(robot: str, sets=None):
 
 def racing_samplers(dim: int, L: int, replica):
     """Deterministic per-replica Halton streams: replica 0 is the canonical
-    stream (reference parity); replica r rotates the prime-base assignment
-    (the reference itself rotates bases, halton.hh:76-82) and adds a modest
-    skip every 16 rotations. Base rotation is free; skips stay small so the
-    sequential halton_skip_batch cost is negligible."""
-    import jax.numpy as jnp
-    from vamp_tpu.samplers.halton import (
-        PRIMES,
-        HaltonState,
-        halton_skip_batch,
-    )
+    stream (reference parity); replica r jumps to stream index r * 49999 in
+    closed form (samplers.halton.halton_state_at) — disjoint, decorrelated
+    windows of the same low-discrepancy sequence (base-rotation-only
+    variants proved highly correlated: consecutive rotations often fail the
+    same problems)."""
+    from vamp_tpu.samplers.halton import halton_state_at
 
     replica = np.asarray(replica, np.int64)
-    rot = replica % 16
-    b = PRIMES[(np.arange(dim)[:, None] + rot[None, :]) % len(PRIMES)]
-    state = HaltonState(
-        b=jnp.asarray(b, jnp.float32),
-        n=jnp.zeros((dim, L), jnp.float32),
-        d=jnp.ones((dim, L), jnp.float32),
-        iterations=jnp.zeros((L,), jnp.int32),
-    )
-    skips = (replica // 16) * 977
-    if skips.max() > 0:
-        state = halton_skip_batch(state, jnp.asarray(skips, jnp.int32))
-    return state
+    return halton_state_at(replica * 49999, dim)
 
 
 def evaluate(
     robot: str = "panda",
     sets=None,
-    waves=((512, 1024, 1024), (1024, 2048, 1024), (4096, 8192, 1024)),
+    waves=DEFAULT_WAVES,
     quiet: bool = False,
     timed: bool = True,
+    turbo: bool = True,
+    pointcloud: bool = False,
+    samples_per_object: int = 2048,
+    filter_radius: float = 0.02,
 ):
     """With `timed`, each wave runs twice — once to compile/warm up, once for
     the measured wall time (results come from the timed run; the solver is
@@ -83,13 +92,16 @@ def evaluate(
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import vamp_tpu as vamp
     from vamp_tpu.planners.rrtc import make_rrtc_batch
+    from vamp_tpu.planners.rrtc_turbo import make_rrtc_turbo_batch
     from vamp_tpu.planners.simplify import make_simplify_batch
-    from vamp_tpu.samplers.halton import halton_init_batch
     from vamp_tpu.utils.settings import RRTCSettings, SimplifySettings
 
     module = vamp.robot_module(robot)
@@ -99,22 +111,53 @@ def evaluate(
     problems = load_problems(robot, sets)
     n_total = len(problems)
 
-    # -- pack every problem env at a common capacity ------------------------
-    caps = {"spheres": 0, "capsules": 0, "cuboids": 0}
-    envs_list, starts, goals = [], [], []
+    # -- pack every problem env at the suite's exact shape capacities -------
+    # (padding slots burn real VPU flops in the unrolled kernels: exact caps,
+    # quantum 1, not the default round-to-8)
+    starts, goals = [], []
     for p in problems:
-        e = vamp.problem_dict_to_vamp(p)
-        caps["spheres"] = max(caps["spheres"], -(-len(e.spheres) // 8) * 8)
-        caps["capsules"] = max(caps["capsules"], -(-len(e.capsules) // 8) * 8)
-        caps["cuboids"] = max(caps["cuboids"], -(-len(e.cuboids) // 8) * 8)
-    for p in problems:
-        e = vamp.problem_dict_to_vamp(p)
-        envs_list.append(e.pack(capacities=caps))
         starts.append(np.asarray(p["start"], np.float32))
         goals.append(np.asarray(p["goals"][0], np.float32))
-    envs_all = jax.tree.map(lambda *xs: jnp.stack(xs), *envs_list)
     starts = np.stack(starts)
     goals = np.stack(goals)
+
+    if pointcloud:
+        # CAPT mode (reference scripts/evaluate_mbm.py:54-59 + 77-85):
+        # synthesize + filter a cloud per problem, build per-lane CAPTs,
+        # pad them to a common shape so the env pytrees stack.
+        from vamp_tpu.ops.capt import pad_capt
+        from vamp_tpu.pointcloud import problem_dict_to_pointcloud
+
+        raw_envs = []
+        for p in problems:
+            e, _orig, _filt, _ft, _bt = problem_dict_to_pointcloud(
+                robot, p, samples_per_object, filter_radius, True
+            )
+            raw_envs.append(e)
+        nlog2 = max(e.pointclouds[0].nlog2 for e in raw_envs)
+        max_aff = max(e.pointclouds[0].leaf_points.shape[1] for e in raw_envs)
+        if not quiet:
+            pts = [int(2 ** e.pointclouds[0].nlog2) for e in raw_envs]
+            print(
+                f"pointcloud mode: tree depth {nlog2}, max_aff {max_aff}, "
+                f"leaves min/max {min(pts)}/{max(pts)}"
+            )
+        envs_list = []
+        for e in raw_envs:
+            e.pointclouds = [pad_capt(e.pointclouds[0], nlog2, max_aff)]
+            envs_list.append(e.pack(quantum=1))
+    else:
+        caps = {"spheres": 0, "capsules": 0, "cuboids": 0}
+        for p in problems:
+            e = vamp.problem_dict_to_vamp(p)
+            caps["spheres"] = max(caps["spheres"], len(e.spheres))
+            caps["capsules"] = max(caps["capsules"], len(e.capsules))
+            caps["cuboids"] = max(caps["cuboids"], len(e.cuboids))
+        envs_list = [
+            vamp.problem_dict_to_vamp(p).pack(quantum=1, capacities=caps)
+            for p in problems
+        ]
+    envs_all = jax.tree.map(lambda *xs: jnp.stack(xs), *envs_list)
 
     # -- problem validity (reference: data['valid'] filter), batched --------
     from vamp_tpu.ops.fkcc_bm import make_fkcc_planner
@@ -126,6 +169,8 @@ def evaluate(
     valid = sv & gv & in_limits(starts) & in_limits(goals)
     n_valid = int(valid.sum())
 
+    make_solver = make_rrtc_turbo_batch if turbo else make_rrtc_batch
+
     # -- wave loop ----------------------------------------------------------
     pending = np.nonzero(valid)[0]
     solved = np.zeros(n_total, bool)
@@ -134,66 +179,83 @@ def evaluate(
     paths = [None] * n_total
     path_caps = 256
     solve_timed = 0.0
+    wave_stats = []
 
     t0 = time.perf_counter()
-    for wave, (max_iter, max_samp, L_target) in enumerate(waves):
+    rotation = 0  # racing-stream rotation cursor (fresh streams per repeat)
+    for wave, (max_iter, max_samp, K_max, L_max, repeats) in enumerate(waves):
+        for rep in range(repeats):
+            if len(pending) == 0:
+                break
+            P = len(pending)
+            # racing: survivors re-batch with K independent sample streams
+            # each — lanes are nearly free on TPU next to sequential steps,
+            # so wide-and-shallow beats narrow-and-deep for the tail.
+            K = max(1, min(L_max // P, K_max))
+            L = min(L_max, -(-(P * K) // 64) * 64)
+            lane_prob = np.full(L, -1, np.int64)
+            for pos, i in enumerate(pending):
+                lane_prob[pos * K : (pos + 1) * K] = i
+            idx = np.where(lane_prob >= 0, lane_prob, 0)
+            lane_live = lane_prob >= 0
+            replica = np.arange(L) % K + rotation
+            if rep == 0 and rotation == 0:
+                replica = np.arange(L) % K  # replica 0 = canonical stream
+
+            settings = RRTCSettings(
+                range=vamp.ROBOT_RRT_RANGES.get(robot, 2.0),
+                max_iterations=max_iter,
+                max_samples=max_samp,
+            )
+            solve = jax.jit(
+                make_solver(spec, settings, n_goals=1, max_path=path_caps)
+            )
+            envs_w = jax.tree.map(lambda x: x[idx], envs_all)
+            args = (
+                jnp.asarray(starts[idx]),
+                jnp.asarray(goals[idx])[:, None, :],
+                jnp.asarray(lane_live)[:, None],
+                envs_w,
+                racing_samplers(dim, L, replica),
+            )
+            if timed:
+                # compile + warm; np.asarray forces a real device round trip
+                # (block_until_ready alone returns early on some backends)
+                np.asarray(solve(*args).solved)
+            tw = time.perf_counter()
+            res = solve(*args)
+            ok = np.asarray(res.solved)
+            wave_time = time.perf_counter() - tw
+            solve_timed += wave_time
+            ok = ok & lane_live
+            res_paths = np.asarray(res.path)
+            res_lens = np.asarray(res.path_length)
+            res_cost = np.asarray(res.cost)
+            res_iter = np.asarray(res.iterations)
+            for pos, i in enumerate(pending):
+                lanes = np.arange(pos * K, (pos + 1) * K)
+                winners = lanes[ok[lanes]]
+                if len(winners) == 0:
+                    continue
+                j = winners[0]  # smallest replica
+                solved[i] = True
+                costs[i] = float(res_cost[j])
+                iters[i] = int(res_iter[j])
+                paths[i] = res_paths[j][: res_lens[j]]
+            pending = np.array([i for i in pending if not solved[i]], np.int64)
+            wave_stats.append(
+                dict(wave=wave, rep=rep, budget=max_iter, L=L, K=K,
+                     time_s=wave_time, solved=P - len(pending), of=P)
+            )
+            if not quiet:
+                print(
+                    f"wave {wave}.{rep}: budget {max_iter}, L={L} x{K} "
+                    f"streams, solved {P - len(pending)}/{P} in "
+                    f"{wave_time*1e3:.0f}ms, remaining {len(pending)}"
+                )
+            rotation += K
         if len(pending) == 0:
             break
-        P = len(pending)
-        # racing: survivors re-batch with K independent sample streams each —
-        # lanes are nearly free on TPU, sequential planner steps are not, so
-        # wide-and-shallow beats narrow-and-deep for the straggler tail.
-        K = max(1, min(L_target // P, 256))
-        L = max(64, 1 << int(np.ceil(np.log2(P * K))))
-        lane_prob = np.full(L, -1, np.int64)
-        for pos, i in enumerate(pending):
-            lane_prob[pos * K : (pos + 1) * K] = i
-        idx = np.where(lane_prob >= 0, lane_prob, 0)
-        lane_live = lane_prob >= 0
-        replica = np.arange(L) % K
-
-        settings = RRTCSettings(
-            range=vamp.ROBOT_RRT_RANGES.get(robot, 2.0),
-            max_iterations=max_iter,
-            max_samples=max_samp,
-        )
-        solve = jax.jit(make_rrtc_batch(spec, settings, n_goals=1, max_path=path_caps))
-        envs_w = jax.tree.map(lambda x: x[idx], envs_all)
-        args = (
-            jnp.asarray(starts[idx]),
-            jnp.asarray(goals[idx])[:, None, :],
-            jnp.asarray(lane_live)[:, None],
-            envs_w,
-            racing_samplers(dim, L, replica),
-        )
-        if timed:
-            solve(*args).solved.block_until_ready()  # compile + warm
-        tw = time.perf_counter()
-        res = solve(*args)
-        res.solved.block_until_ready()
-        wave_time = time.perf_counter() - tw
-        solve_timed = wave_time if wave == 0 else solve_timed + wave_time
-        ok = np.asarray(res.solved) & lane_live
-        res_paths = np.asarray(res.path)
-        res_lens = np.asarray(res.path_length)
-        res_cost = np.asarray(res.cost)
-        res_iter = np.asarray(res.iterations)
-        for pos, i in enumerate(pending):
-            lanes = np.arange(pos * K, (pos + 1) * K)
-            winners = lanes[ok[lanes]]
-            if len(winners) == 0:
-                continue
-            j = winners[0]  # smallest replica: replica 0 = canonical stream
-            solved[i] = True
-            costs[i] = float(res_cost[j])
-            iters[i] = int(res_iter[j])
-            paths[i] = res_paths[j][: res_lens[j]]
-        pending = np.array([i for i in pending if not solved[i]], np.int64)
-        if not quiet:
-            print(
-                f"wave {wave}: budget {max_iter}, x{K} streams, solved "
-                f"{P - len(pending)}/{P} in {wave_time*1e3:.0f}ms, remaining {len(pending)}"
-            )
     solve_time = time.perf_counter() - t0
 
     # -- batched simplification on all solved paths (256-lane slices) -------
@@ -220,7 +282,7 @@ def evaluate(
             plen[len(blk):] = 2  # idle lanes: trivial 2-point paths
             envs_s = jax.tree.map(lambda x: x[pad], envs_all)
             if timed and not warmed:
-                simplify(jnp.asarray(pbuf), jnp.asarray(plen), envs_s).cost.block_until_ready()
+                np.asarray(simplify(jnp.asarray(pbuf), jnp.asarray(plen), envs_s).cost)
                 warmed = True
                 t1 = time.perf_counter()  # restart the clock post-compile
             sres = simplify(jnp.asarray(pbuf), jnp.asarray(plen), envs_s)
@@ -242,6 +304,7 @@ def evaluate(
         "mean_iterations": float(iters[solved].mean()) if solved.any() else 0.0,
         "mean_initial_cost": float(costs[solved].mean()) if solved.any() else 0.0,
         "mean_simplified_cost": float(simp_costs[solved].mean()) if solved.any() else 0.0,
+        "waves": wave_stats,
     }
     return stats
 
@@ -250,7 +313,13 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--robot", default="panda")
     ap.add_argument("--sets", nargs="*", default=None)
+    ap.add_argument("--parity", action="store_true", help="use the stream-parity solver")
+    ap.add_argument("--pointcloud", action="store_true", help="CAPT pointcloud mode")
+    ap.add_argument("--samples_per_object", type=int, default=2048)
     args = ap.parse_args()
-    stats = evaluate(args.robot, args.sets)
+    stats = evaluate(
+        args.robot, args.sets, turbo=not args.parity,
+        pointcloud=args.pointcloud, samples_per_object=args.samples_per_object,
+    )
     for k, v in stats.items():
         print(f"{k}: {v}")

@@ -75,6 +75,72 @@ class PlanningResult:
             return 0.0
         return float(np.linalg.norm(np.diff(self.path, axis=0), axis=1).sum())
 
+    # -- reference Path utility surface (planning/plan.hh:10-169) -----------
+
+    def subdivide(self) -> None:
+        """Insert the midpoint of every segment (plan.hh:33-48)."""
+        p = np.asarray(self.path, np.float32)
+        if len(p) < 2:
+            return
+        mids = 0.5 * (p[:-1] + p[1:])
+        out = np.empty((2 * len(p) - 1, p.shape[1]), np.float32)
+        out[0::2] = p
+        out[1::2] = mids
+        self.path = out
+
+    def interpolate_to_resolution(self, resolution: int) -> None:
+        """Re-sample every segment at `resolution` states per unit C-space
+        distance (plan.hh:112-150)."""
+        p = np.asarray(self.path, np.float32)
+        if len(p) < 2:
+            return
+        out = []
+        for a, b in zip(p[:-1], p[1:]):
+            seg = float(np.linalg.norm(b - a))
+            out.append(a)
+            if seg < 1.0 / resolution:
+                continue
+            n = int(seg * resolution)
+            for k in range(1, n):
+                out.append(a + (k / n) * (b - a))
+        out.append(p[-1])
+        self.path = np.stack(out)
+
+    def interpolate_to_n_states(self, n: int) -> None:
+        """Re-sample to ~n states, distributing per segment length
+        (plan.hh:50-110; faithful to the reference's rounding, including its
+        size_t underflow making `max_n_states > 0` true for n + i < n_p)."""
+        p = np.asarray(self.path, np.float32)
+        n_p = len(p)
+        if n_p < 2 or n < n_p:
+            return
+        seg = np.linalg.norm(np.diff(p, axis=0), axis=1).astype(float)
+        remaining = float(seg.sum())
+        if remaining < np.finfo(np.float32).eps:
+            return
+        out = []
+        n1 = n_p - 1
+        for i in range(n1):
+            a, b = p[i], p[i + 1]
+            out.append(a)
+            max_n_states = n + i - n_p  # size_t arithmetic in the reference
+            if max_n_states != 0:
+                eff_max = max_n_states if max_n_states > 0 else 1 << 62
+                if i + 1 == n1:
+                    ns = eff_max + 2 if max_n_states > 0 else 2
+                else:
+                    ns = int(np.floor(0.5 + n * seg[i] / remaining)) + 1
+                ns = min(ns - 2, eff_max) if ns > 2 else 0
+                v = b - a
+                for k in range(1, ns + 1):
+                    out.append(a + (k / ns) * v)
+                n -= ns + 1
+                remaining -= seg[i]
+            else:
+                n -= 1
+        out.append(p[-1])
+        self.path = np.stack(out)
+
 
 class HaltonSampler:
     """Stateful wrapper mirroring the reference RNG binding (reset/skip/next)."""
@@ -250,6 +316,17 @@ class RobotModule:
     def distance(self, a, b) -> float:
         return float(np.linalg.norm(np.asarray(a, np.float32) - np.asarray(b, np.float32)))
 
+    def validate_path(self, path, env: Environment) -> bool:
+        """Validate every consecutive motion of a path at the robot's
+        resolution (reference Path::validate, plan.hh:152-166)."""
+        p = np.asarray(path, np.float32)
+        if len(p) < 2:
+            return False
+        packed = _packed(env)
+        return all(
+            self._line_valid(p[i], p[i + 1], packed) for i in range(len(p) - 1)
+        )
+
     # -- samplers ------------------------------------------------------------
     def halton(self) -> HaltonSampler:
         return HaltonSampler(self.spec.dimension)
@@ -265,13 +342,53 @@ class RobotModule:
         """Per-robot-sphere list of colliding environment object names
         (reference `sphere_validity`, bindings/common.hh:154-170 →
         sphere_environment_get_collisions, collision/validity.hh:153-249).
-        Host-side debug path — not for the planning hot loop."""
+        Host-side debug path — not for the planning hot loop.
+
+        Extension over the reference (which reports env objects only): when
+        the environment carries an attachment, entries for the posed
+        attachment spheres are appended after the robot spheres, and robot
+        spheres touching an attachment sphere gain an "attachment_<k>" name
+        (the collision set fkcc_attach actually checks, fkcc_bm.py:463+)."""
         spheres = self.fk(config)
         out: List[List[str]] = []
         for si, s in enumerate(spheres):
             p = np.asarray(s.center, np.float32)
             r = float(self.spec.sphere_radius[si])
-            names: List[str] = []
+            names = self._collision_names(p, r, env)
+            out.append(names)
+        att = env.attachment
+        if att is not None and len(att.radii):
+            ee = np.asarray(self.eefk(config), np.float32)
+            x, y, z, qx, qy, qz, qw = [float(v) for v in ee]
+            R_ee = np.array(
+                [
+                    [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw), 2 * (qx * qz + qy * qw)],
+                    [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qx * qw)],
+                    [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw), 1 - 2 * (qx * qx + qy * qy)],
+                ],
+                np.float32,
+            )
+            t_ee = np.array([x, y, z], np.float32)
+            for k, (c, ar) in enumerate(zip(att.centers, att.radii)):
+                pw = R_ee @ (att.rot @ np.asarray(c, np.float32) + att.pos) + t_ee
+                names = self._collision_names(pw, float(ar), env)
+                # attachment vs robot spheres (the fkcc_attach pair set)
+                check = set(self.spec.attach_check_frames)
+                for si, s in enumerate(spheres):
+                    if int(self.spec.sphere_frame[si]) not in check:
+                        continue
+                    d2 = float(np.sum((np.asarray(s.center, np.float32) - pw) ** 2))
+                    if d2 < (float(self.spec.sphere_radius[si]) + float(ar)) ** 2:
+                        names.append(f"robot_sphere_{si}")
+                        out[si].append(f"attachment_{k}")
+                out.append(names)
+        return out
+
+    def _collision_names(self, p: np.ndarray, r: float, env: Environment) -> List[str]:
+        """Environment object names colliding with one sphere
+        (sphere_environment_get_collisions, validity.hh:153-249)."""
+        names: List[str] = []
+        if True:
             for j, o in enumerate(env.spheres):
                 c = np.asarray(o.center, np.float32)
                 if np.sum((p - c) ** 2) < (r + o.radius) ** 2:
@@ -307,8 +424,7 @@ class RobotModule:
                     )
                     if bool(np.asarray(hit)[0]):
                         names.append(f"pointcloud_{j}")
-            out.append(names)
-        return out
+        return names
 
     def filter_self_from_pointcloud(self, pc, configuration, env=None, point_radius=POINT_RADIUS):
         """Remove points lying on the robot (+ attachment) itself (reference
@@ -410,7 +526,7 @@ class RobotModule:
             _JIT_CACHE[key] = fn
         t0 = time.perf_counter_ns()
         sam = _as_batch_sampler(sampler, self.spec.dimension)
-        paths, lens, costs, solved = fn(
+        paths, lens, costs, solved, iters = fn(
             jnp.asarray(np.asarray(start, np.float32))[None],
             jnp.asarray(goal_np)[None],
             packed,
@@ -422,7 +538,7 @@ class RobotModule:
             path=np.asarray(paths[0])[:n],
             cost=float(costs[0]),
             nanoseconds=ns,
-            iterations=int(settings.max_iterations),
+            iterations=int(iters[0]),
             size=[0, 0],
         )
 

@@ -162,15 +162,66 @@ def build_capt(points: np.ndarray, r_min: float, r_max: float, point_radius: flo
     )
 
 
+def pad_capt(capt: CAPT, nlog2: int, max_aff: int) -> CAPT:
+    """Deepen/pad a tree to (depth `nlog2`, `max_aff` affordance slots) with
+    IDENTICAL query semantics — so per-lane trees of differing sizes stack
+    into one lane-batched pytree (jax.tree.map(stack)).
+
+    Deepening: appended heap levels hold FAR tests, so every query descends
+    left through them; old leaf z becomes the leftmost descendant at
+    z * 2^(depth delta), other new leaves stay empty (FAR)."""
+    t = np.asarray(capt.tests)
+    lp = np.asarray(capt.leaf_points)
+    la = np.asarray(capt.leaf_aabb)
+    d = capt.nlog2
+    assert nlog2 >= d and max_aff >= lp.shape[1]
+    shift = 1 << (nlog2 - d)
+    n_leaves = 1 << nlog2
+    tests = np.full(max(n_leaves - 1, 1), FAR, np.float32)
+    tests[: len(t)] = t
+    leaf_points = np.full((n_leaves, max_aff, 3), FAR, np.float32)
+    leaf_aabb = np.full((n_leaves, 2, 3), FAR, np.float32)
+    leaf_points[:: shift, : lp.shape[1]] = lp
+    leaf_aabb[::shift] = la
+    return CAPT(
+        tests=jnp.asarray(tests),
+        leaf_points=jnp.asarray(leaf_points),
+        leaf_aabb=jnp.asarray(leaf_aabb),
+        top_aabb=capt.top_aabb,
+        point_radius=capt.point_radius,
+        nlog2=nlog2,
+    )
+
+
+def stack_capts(capts) -> CAPT:
+    """Pad a list of per-lane CAPTs to a common shape and stack (leading L)."""
+    nlog2 = max(c.nlog2 for c in capts)
+    max_aff = max(c.leaf_points.shape[1] for c in capts)
+    padded = [pad_capt(c, nlog2, max_aff) for c in capts]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+
+
 def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
     """Batch-minor query: xs/ys/zs (S, *batch); radii_col broadcastable.
-    Returns (*batch,) bool — any query sphere hits any tree point."""
+    Returns (*batch,) bool — any query sphere hits any tree point.
+
+    Lane-batched trees (every CAPT leaf with a leading L axis, from
+    stack_capts) are supported when the MINOR batch axis is L: per-level
+    test lookups and leaf gathers then index (lane, idx)."""
     coords = (xs, ys, zs)
-    r_eff = radii_col + capt.point_radius
+    batched = capt.tests.ndim == 2
+    r_eff = radii_col + (capt.point_radius if not batched else capt.point_radius)
     rsq = r_eff * r_eff
 
+    def lane_of(a):
+        return jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+
     # top-level AABB prune
-    lo, hi = capt.top_aabb[0], capt.top_aabb[1]
+    if batched:
+        lo = jnp.moveaxis(capt.top_aabb[:, 0], 0, -1)  # (3, L) -> per coord (L,)
+        hi = jnp.moveaxis(capt.top_aabb[:, 1], 0, -1)
+    else:
+        lo, hi = capt.top_aabb[0], capt.top_aabb[1]
     inb = jnp.ones(xs.shape, bool)
     for k in range(3):
         inb = inb & (coords[k] + r_eff >= lo[k]) & (coords[k] - r_eff <= hi[k])
@@ -179,12 +230,12 @@ def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
     idx = jnp.zeros(xs.shape, jnp.int32)
     for level in range(capt.nlog2):
         k = level % 3
-        t = capt.tests[idx]
+        t = capt.tests[lane_of(idx), idx] if batched else capt.tests[idx]
         idx = 2 * idx + 1 + (coords[k] >= t).astype(jnp.int32)
-    z = idx - capt.tests.shape[0]
+    z = idx - capt.tests.shape[-1]
 
     # leaf AABB prune (point-fattened)
-    albl = capt.leaf_aabb[z]  # (..., 2, 3)
+    albl = capt.leaf_aabb[lane_of(z), z] if batched else capt.leaf_aabb[z]
     dsq = 0.0
     for k in range(3):
         c = coords[k]
@@ -193,7 +244,7 @@ def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
     inb = inb & (dsq <= rsq)
 
     # affordance-buffer scan: fixed-size gather + mask-reduce
-    pts = capt.leaf_points[z]  # (..., max_aff, 3)
+    pts = capt.leaf_points[lane_of(z), z] if batched else capt.leaf_points[z]
     dx = pts[..., 0] - xs[..., None]
     dy = pts[..., 1] - ys[..., None]
     dz = pts[..., 2] - zs[..., None]

@@ -300,6 +300,12 @@ def _env_hits_bm(xs, ys, zs, radii_col, env: PackedEnvironment, batched_env: boo
 
     n_hf = env.hf_mask.shape[-1]
     if n_hf:
+        # Index clamp is [0, xd-1] / [0, yd-1]. The reference clamps the
+        # *float* to [0, xd] then floors (sphere_heightfield.hh:20-21), so a
+        # saturated coordinate produces index xd == one-past-the-row — an
+        # out-of-bounds read (next row's first texel, or past the buffer on
+        # the last row). Knowingly fixed here; in-bounds queries agree
+        # exactly (pinned by tests/test_golden_parity.py heightfield case).
         for i in range(n_hf):
             yd, xd = env.hf_data.shape[-2:]
             ox, oy, oz = (p(env.hf_origin, i, k) for k in range(3))
@@ -350,11 +356,9 @@ def _env_hits_bm(xs, ys, zs, radii_col, env: PackedEnvironment, batched_env: boo
     if env.capts:
         from .capt import capt_collides_bm
 
-        if batched_env:
-            raise NotImplementedError(
-                "pointcloud (CAPT) checks with per-lane batched envs are not "
-                "supported yet — share one env across lanes"
-            )
+        # Lane-batched envs carry lane-batched CAPTs (built per lane, padded
+        # to a common shape by ops.capt.stack_capts / pytree stacking); the
+        # query then indexes (lane, node) per level.
         for capt in env.capts:
             hit = hit | capt_collides_bm(capt, xs, ys, zs, radii_col)
 

@@ -230,9 +230,13 @@ def make_aox_rrtc_batch(
                 c["sampler"],
             )
             key = jax.random.wrap_key_data(c["key"])
-            key, k1, k2 = jax.random.split(key, 3)
+            key, k1, k2, k3 = jax.random.split(key, 4)
             u_rad = jax.random.uniform(k1, (L,))
             u_cost = jax.random.uniform(k2, (L,))
+            n_resample = (
+                settings.cost_bound_resample_rounds if settings.cost_bound_resample else 0
+            )
+            u_resample = jax.random.uniform(k3, (max(n_resample, 1), L))
             new_key = jax.random.key_data(key)
 
             if use_phs:
@@ -276,9 +280,35 @@ def make_aox_rrtc_batch(
             new_cfg = jnp.where(
                 ext_ok[None], near_cfg + ext_vec, c["c_prior"] + c["c_inc"]
             )
-            new_g = jnp.where(
-                ext_ok, near_g + ext_dist, c["c_prior_g"] + c["c_inc_len"]
-            )
+            # -- parent cost-bound resampling (aorrtc.hh:238-305) -----------
+            # The reference re-draws the cost bound and re-queries the tree
+            # until a same-parent / no-improvement / invalid-edge exit; here
+            # the loop is bounded at `cost_bound_resample_rounds` batched
+            # rounds (each = one sweep + one edge validation, all lanes).
+            parent_ext = near_idx
+            g_ext = near_g + ext_dist
+            if n_resample:
+                ghat2 = jnp.linalg.norm(new_cfg - root_bm, axis=0)
+                resampling = ext_ok
+                for rr in range(n_resample):
+                    c_range2 = jnp.maximum(g_ext - ghat2, 0.0)
+                    c_rand2 = u_resample[rr] * c_range2 + ghat2
+                    idx2, d2, cfg2, g2 = bounded_nearest(
+                        states, g, mask_a, new_cfg, c_rand2, slot
+                    )
+                    better = (
+                        (idx2 != parent_ext)
+                        & (g2 + d2 < g_ext)
+                        & (c_range2 > 0.0)
+                    )
+                    cand = resampling & better
+                    ok2 = validate_lanes(cfg2, new_cfg - cfg2, d2, envs, br, bp)
+                    accept = cand & ok2
+                    parent_ext = jnp.where(accept, idx2, parent_ext)
+                    g_ext = jnp.where(accept, g2 + d2, g_ext)
+                    resampling = accept  # any exit condition stops the lane
+
+            new_g = jnp.where(ext_ok, g_ext, c["c_prior_g"] + c["c_inc_len"])
 
             # dynamic-domain updates (shared with rrtc semantics)
             grow = ext_ok & jnp.bool_(rs.dynamic_domain) & (near_radius != INF)
@@ -295,7 +325,7 @@ def make_aox_rrtc_batch(
 
             # insertion at shared slot
             ins = ext_ok | con_ok
-            node_parent = jnp.where(is_ext, near_idx, c["c_prior_idx"])
+            node_parent = jnp.where(is_ext, parent_ext, c["c_prior_idx"])
             states = lax.dynamic_update_slice(states, new_cfg[:, None, :], (0, slot, 0))
             parents = lax.dynamic_update_slice(parents, node_parent[None, :], (slot, 0))
             g = lax.dynamic_update_slice(g, new_g[None, :], (slot, 0))
@@ -436,8 +466,10 @@ def make_aorrtc_batch(
     (aox_rrtc bounded by best cost -> simplify), all batched.
 
     Returns `solve(starts (L,dim), goals (L,dim), envs, samplers?) ->
-    (best_paths (L,P,dim), lengths (L,), costs (L,), solved (L,))`. Stages
-    are independently jitted; the meta loop runs in Python.
+    (best_paths (L,P,dim), lengths (L,), costs (L,), solved (L,),
+    iterations (L,))` with iterations = actual sampling iterations summed
+    over the initial RRTC and every optimization round. Stages are
+    independently jitted; the meta loop runs in Python.
     """
     rs = replace(
         settings.rrtc,
@@ -465,6 +497,7 @@ def make_aorrtc_batch(
         best_lens = simp.path_length
         best_costs = jnp.where(res.solved, simp.cost, INF)
         samplers = res.sampler
+        iterations = res.iterations
         key = jax.random.key_data(jax.random.PRNGKey(seed))
 
         if settings.optimize:
@@ -474,6 +507,7 @@ def make_aorrtc_batch(
                     use_phs=settings.use_phs,
                 )
                 samplers = ar.sampler
+                iterations = iterations + ar.iterations
                 key = jax.random.key_data(jax.random.PRNGKey(seed + r + 1))
                 s2 = simplify(ar.path, ar.path_length, envs)
                 better = ar.solved & (s2.cost < best_costs)
@@ -482,6 +516,12 @@ def make_aorrtc_batch(
                 best_costs = jnp.where(better, s2.cost, best_costs)
 
         solved = best_costs < INF
-        return best_paths, best_lens, jnp.where(solved, best_costs, 0.0), solved
+        return (
+            best_paths,
+            best_lens,
+            jnp.where(solved, best_costs, 0.0),
+            solved,
+            iterations,
+        )
 
     return solve

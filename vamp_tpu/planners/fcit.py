@@ -57,10 +57,13 @@ class FCITResult:
     path: jnp.ndarray  # (L, max_path, dim)
     path_length: jnp.ndarray  # (L,) i32
     cost: jnp.ndarray  # (L,) f32
-    iterations: jnp.ndarray  # (L,) i32 — sampling rounds (reference iter)
+    iterations: jnp.ndarray  # (L,) i32 — sampling rounds executed per lane
     solved: jnp.ndarray  # (L,) bool
     graph_size: jnp.ndarray  # (L,) i32
     sampler: HaltonState
+    # Anytime trace: best validated cost after each sampling round
+    # (L, R_max), inf where unsolved / round not executed.
+    cost_trace: jnp.ndarray
 
 
 def make_fcit_batch(
@@ -68,24 +71,31 @@ def make_fcit_batch(
     settings: RoadmapSettings,
     n_goals: int = 1,
     max_path: int = 64,
-    rounds: int = 8,
-    sp_iters: int = 24,
     lazy_iters: int = 32,
 ):
     """Build `solve(starts (L,dim), goals (L,G,dim), goal_mask, envs,
     samplers?) -> FCITResult`.
 
-    rounds:   sample batches (reference: outer while, batch_size each)
-    sp_iters: Bellman-Ford sweeps per relaxation (>= shortest path depth)
-    lazy_iters: max validate-and-repair cycles per round
+    Anytime budget semantics (reference fcit.hh:311-344): sampling rounds of
+    `settings.batch_size` run while round < max_iterations, the sample budget
+    (max_samples) has room for another batch, and some lane is unsolved — or
+    forever within budgets when `settings.optimize` (keep refining after the
+    first solution; converged cost decreases monotonically, recorded per
+    round in FCITResult.cost_trace). The Bellman-Ford relaxation runs to a
+    fixpoint (no fixed sweep ceiling), so any path up to max_path vertices is
+    found exactly.
+
+    lazy_iters: max validate-and-repair cycles per round.
     """
     fkcc = make_fkcc_planner(spec)
     dim = spec.dimension
     res = spec.resolution
     N = settings.max_samples
     B = settings.batch_size
-    assert N >= 1 + n_goals + rounds * B, (
-        f"max_samples={N} must hold 1+{n_goals} endpoints + {rounds}x{B} samples"
+    # rounds that fit the sample budget and the iteration budget
+    rounds = min(max((N - 1 - n_goals) // B, 0), settings.max_iterations)
+    assert rounds >= 1, (
+        f"max_samples={N} must hold 1+{n_goals} endpoints + one {B}-sample batch"
     )
     assert N <= 8192, "dense (N, N) matrices: keep max_samples <= 8192"
     diam = float(np.linalg.norm(spec.range))
@@ -174,25 +184,36 @@ def make_fcit_batch(
             )
             return out["states"], out["active"], out["sampler"]
 
-        def lazy_sp(D, validity, active):
-            """Bellman-Ford to fixpoint over edges not known-invalid.
+        def lazy_sp(D, validity, active, optimistic=True):
+            """Bellman-Ford to a true fixpoint (no sweep ceiling: a fixed
+            count would silently under-relax paths deeper than it).
+            `optimistic` treats UNKNOWN edges as valid (the lazy relaxation);
+            pessimistic uses only VALIDATED edges — for sound extraction.
             Returns (g (L,N), parent (L,N))."""
-            Dm = jnp.where(validity == INVALID, INF, D)
+            if optimistic:
+                Dm = jnp.where(validity == INVALID, INF, D)
+            else:
+                Dm = jnp.where(validity == VALID, D, INF)
             Dm = jnp.where(jnp.eye(N, dtype=bool)[None], INF, Dm)
 
-            def bf(_, gv):
-                g, parent = gv
+            def bf(c):
+                g, parent, _, it = c
                 tot = g[:, :, None] + Dm  # (L, p, c)
                 best = jnp.min(tot, axis=1)  # (L, c)
                 argp = jnp.argmin(tot, axis=1).astype(jnp.int32)
                 better = best < g
                 g2 = jnp.where(better, best, g)
                 p2 = jnp.where(better, argp, parent)
-                return g2, p2
+                return g2, p2, jnp.any(better), it + 1
 
             g0 = jnp.full((L, N), INF).at[:, 0].set(0.0)
             p0 = jnp.zeros((L, N), jnp.int32)
-            return lax.fori_loop(0, sp_iters, bf, (g0, p0))
+            g, parent, _, _ = lax.while_loop(
+                lambda c: c[2] & (c[3] < N),
+                bf,
+                (g0, p0, jnp.bool_(True), jnp.int32(0)),
+            )
+            return g, parent
 
         def goal_choice(g):
             gg = lax.dynamic_slice_in_dim(g, 1, G, axis=1)  # (L, G)
@@ -276,28 +297,56 @@ def make_fcit_batch(
             new = jnp.where(mask, values, cur)
             return vflat.at[lanes, safe].set(new)
 
-        # -- rounds ---------------------------------------------------------
+        # -- anytime budget loop (fcit.hh:311-344) --------------------------
+        # Rounds run while iteration + sample budgets hold and either some
+        # lane is unsolved or `optimize` keeps refining; each round's best
+        # validated cost lands in the trace.
         carry = dict(
             states=states,
             active=active,
             validity=validity,
             sampler=samplers,
-            slot=1 + G,
+            slot=jnp.int32(1 + G),
+            round=jnp.int32(0),
+            solved=jnp.zeros((L,), bool),
+            trace=jnp.full((rounds, L), INF),
         )
-        for r in range(rounds):
-            s2, a2, smp = sample_batch(
-                carry["states"], carry["active"], carry["slot"], carry["sampler"]
+
+        def round_cond(c):
+            room = c["slot"] + B <= N
+            budget = c["round"] < rounds
+            work = jnp.any(~c["solved"]) | jnp.bool_(settings.optimize)
+            return budget & room & work
+
+        def round_body(c):
+            s2, a2, smp = sample_batch(c["states"], c["active"], c["slot"], c["sampler"])
+            D = pairwise(s2, a2)
+            validity, _ = repair(D, c["validity"], s2, a2)
+            # trace/solved report only fully-VALIDATED paths (sound even when
+            # repair exhausts lazy_iters with optimistic edges outstanding)
+            gp, _ = lazy_sp(D, validity, a2, optimistic=False)
+            _, best_cost = goal_choice(gp)
+            trace = lax.dynamic_update_slice(
+                c["trace"], best_cost[None, :], (c["round"], jnp.int32(0))
             )
-            carry["states"], carry["active"], carry["sampler"] = s2, a2, smp
-            carry["slot"] = carry["slot"] + B
-            D = pairwise(carry["states"], carry["active"])
-            carry["validity"], best_cost = repair(
-                D, carry["validity"], carry["states"], carry["active"]
+            return dict(
+                states=s2,
+                active=a2,
+                validity=validity,
+                sampler=smp,
+                slot=c["slot"] + B,
+                round=c["round"] + 1,
+                solved=best_cost < INF,
+                trace=trace,
             )
 
-        # final extraction
+        carry = lax.while_loop(round_cond, round_body, carry)
+
+        # final extraction — pessimistic: the returned path uses only
+        # validated edges (repair's converged best path is all-VALID, so no
+        # converged solution is ever lost)
         D = pairwise(carry["states"], carry["active"])
-        g, parent = lazy_sp(D, carry["validity"], carry["active"])
+        g, parent = lazy_sp(D, carry["validity"], carry["active"], optimistic=False)
         goal_idx, cost = goal_choice(g)
         seq, length = walk_path(parent, goal_idx)
         path = jnp.take_along_axis(carry["states"], seq[:, :, None], 1)
@@ -307,10 +356,11 @@ def make_fcit_batch(
             path=path,
             path_length=jnp.where(solved, length, 0),
             cost=jnp.where(solved, cost, 0.0),
-            iterations=jnp.full((L,), rounds, jnp.int32),
+            iterations=jnp.broadcast_to(carry["round"], (L,)).astype(jnp.int32),
             solved=solved,
             graph_size=jnp.sum(carry["active"], axis=1).astype(jnp.int32),
             sampler=carry["sampler"],
+            cost_trace=carry["trace"].T,
         )
 
     return solve

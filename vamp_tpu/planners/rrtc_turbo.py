@@ -1,0 +1,537 @@
+"""Throughput-mode batched RRT-Connect — the benchmark solver.
+
+Same algorithm family as planners/rrtc.py (dynamic-domain, balanced,
+bidirectional RRT-Connect; reference planning/rrtc.hh:33-248) re-tuned for
+device-step throughput instead of reference stream parity. Three structural
+changes, each motivated by measurement on TPU v5e (see benchmarks/):
+
+1. **One-pass nearest neighbor.** The parity solver's chunked one-hot sweeps
+   cost ~500us/step at L=1024 — the step bottleneck. Here NN is
+   `argmin(|s|^2 - 2 s.q + |q|^2)` with squared norms maintained incrementally
+   at insertion, tree membership encoded as +BIG sentinels in the norm arrays
+   (no mask tensors in the loop), and the winning configuration fetched with a
+   single small take_along_axis from a lane-major mirror of the tree.
+
+2. **Speculative connect.** The reference's greedy connect loop advances one
+   `range`-length segment per validation (rrtc.hh:160-194). Here the extend
+   edge AND the first K connect segments validate in ONE fused fkcc call per
+   step; colinear connect segments merge into a single tree edge (identical
+   path geometry, fewer nodes). A step therefore completes a whole
+   extend+connect iteration in the common case, instead of 2-4 steps.
+
+3. **Slot capacity ~ budget.** Tree buffers are sized to the wave's iteration
+   budget (slots are consumed per insertion step), so NN sweep cost tracks the
+   budget instead of a static worst case.
+
+Consequences: paths are still validated edge-by-edge at the reference's
+resolution semantics (ops/validate.py check set), but tree growth no longer
+reproduces the reference sample-for-sample (colinear connect nodes are not
+materialized, so later NN queries can differ). Use planners/rrtc.py when
+stream parity matters; use this for throughput.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..env import PackedEnvironment
+from ..ops.fkcc_bm import make_fkcc_planner
+from ..ops.validate import RAKE
+from ..robots.spec import RobotSpec
+from ..samplers.halton import HaltonState, halton_init_batch, halton_next
+from ..utils.settings import RRTCSettings
+from .rrtc import RRTCResult
+
+INF = jnp.float32(np.inf)
+BIG = jnp.float32(1.0e30)  # tree-membership sentinel in squared-norm arrays
+EXTEND, CONNECT = jnp.int8(0), jnp.int8(1)
+
+# Profiling-only knobs (benchmarks/step_profile.py): comma list of body pieces
+# to stub out, plus an optional fixed step count that overrides the loop cond.
+import os as _os
+
+_DISABLE = set(filter(None, _os.environ.get("VAMP_TURBO_DISABLE", "").split(",")))
+_FIXED_STEPS = int(_os.environ.get("VAMP_TURBO_FIXED_STEPS", "0"))
+
+
+def _tile_states(max_dist: float, resolution: int) -> int:
+    n_max = max(int(np.ceil(max_dist * resolution / RAKE)), 1)
+    return RAKE * n_max
+
+
+def make_rrtc_turbo_batch(
+    spec: RobotSpec,
+    settings: RRTCSettings,
+    n_goals: int = 1,
+    max_path: int = 256,
+    connect_segs: int = 1,
+):
+    """Build `solve_batch(starts (L,dim), goals (L,G,dim), goal_mask (L,G),
+    envs, samplers?, base_rot?, base_pos?) -> RRTCResult`.
+
+    `envs`: one PackedEnvironment shared by all lanes, or a lane-batched one
+    (leading L on every leaf). `connect_segs` = K speculative connect segments
+    validated per step alongside the extend edge.
+    """
+    fkcc = make_fkcc_planner(spec)
+    dim = spec.dimension
+    res = spec.resolution
+    N = settings.max_samples
+    K = connect_segs
+    rng_range = jnp.float32(settings.range)
+
+    diam = float(np.linalg.norm(spec.range))
+    T_edge = _tile_states(min(settings.range, diam), res)
+    T_line = _tile_states(diam, res)
+    T_total = (1 + K) * T_edge
+
+    lower = jnp.asarray(spec.lower)
+    scale = jnp.asarray(spec.range)
+
+    def validate_blocks(p_blocks, v_blocks, d_blocks, envs, br, bp):
+        """p/v_blocks (1+K, dim, L); d_blocks (1+K, L) -> valid (1+K, L).
+
+        One fused fkcc evaluation of every block's interpolated states at the
+        reference check set (validate.hh:41: fractions j/(RAKE*n))."""
+        n = jnp.maximum(jnp.ceil(d_blocks * (res / RAKE)), 1.0)  # (1+K, L)
+        total = RAKE * n
+        j = jnp.arange(1, T_edge + 1, dtype=jnp.float32)  # (T,)
+        frac = jnp.minimum(j[None, :, None], total[:, None, :]) / total[:, None, :]
+        # (1+K, T, L); configs (dim, 1+K, T, L) -> (dim, (1+K)*T, L)
+        q = p_blocks[:, :, None, :] + v_blocks[:, :, None, :] * frac[:, None]
+        q = jnp.moveaxis(q, 1, 0).reshape(dim, T_total, -1)
+        ok = fkcc(q, envs, br, bp)  # (T_total, L)
+        return jnp.all(ok.reshape(1 + K, T_edge, -1), axis=1)  # (1+K, L)
+
+    def validate_line(starts_bm, vecs_bm, dists, envs, br, bp):
+        n = jnp.maximum(jnp.ceil(dists * (res / RAKE)), 1.0)
+        total = RAKE * n
+        j = jnp.arange(1, T_line + 1, dtype=jnp.float32)
+        frac = jnp.minimum(j[:, None], total[None, :]) / total[None, :]
+        q = starts_bm[:, None, :] + vecs_bm[:, None, :] * frac[None]
+        ok = fkcc(q, envs, br, bp)
+        return jnp.all(ok, axis=0)
+
+    def solve_batch(
+        starts: jnp.ndarray,  # (L, dim)
+        goals: jnp.ndarray,  # (L, G, dim)
+        goal_mask: jnp.ndarray,  # (L, G) bool
+        envs: PackedEnvironment,
+        samplers: Optional[HaltonState] = None,
+        base_rot: Optional[jnp.ndarray] = None,
+        base_pos: Optional[jnp.ndarray] = None,
+    ) -> RRTCResult:
+        L, G = goals.shape[0], goals.shape[1]
+        if samplers is None:
+            samplers = halton_init_batch(dim, L)
+        br, bp = base_rot, base_pos
+
+        # -- straight-line early exit (rrtc.hh:61-74) -----------------------
+        line_vecs = goals - starts[:, None, :]
+        line_dists = jnp.linalg.norm(line_vecs, axis=2)
+        lv = line_vecs.transpose(2, 0, 1).reshape(dim, L * G)
+        ls = jnp.broadcast_to(starts.T[:, :, None], (dim, L, G)).reshape(dim, L * G)
+        if envs.sphere_xyzr.ndim == 3 and G > 1:
+            envs_rep = jax.tree.map(lambda x: jnp.repeat(x, G, axis=0), envs)
+        else:
+            envs_rep = envs
+        line_ok = validate_line(
+            ls, lv, line_dists.reshape(-1), envs_rep, br, bp
+        ).reshape(L, G)
+        line_valid = line_ok & goal_mask
+        any_line = jnp.any(line_valid, axis=1)
+        first_goal = jnp.argmax(line_valid, axis=1)
+
+        # -- tree buffers ---------------------------------------------------
+        # Slot 0 = start, slots 1..G = goals. Tree membership + live mask are
+        # folded into the squared-norm arrays (BIG = not in this tree).
+        states = jnp.zeros((dim, N, L), jnp.float32)
+        states = lax.dynamic_update_slice(states, starts.T[:, None, :], (0, 0, 0))
+        states = lax.dynamic_update_slice(states, goals.transpose(2, 1, 0), (0, 1, 0))
+        states_lm = jnp.zeros((L, N, dim), jnp.float32)
+        states_lm = lax.dynamic_update_slice(states_lm, starts[:, None, :], (0, 0, 0))
+        states_lm = lax.dynamic_update_slice(states_lm, goals, (0, 1, 0))
+
+        start_sq = jnp.sum(starts * starts, axis=1)  # (L,)
+        goal_sq = jnp.sum(goals * goals, axis=2)  # (L, G)
+        s2a = jnp.full((N, L), BIG)
+        s2a = lax.dynamic_update_slice(s2a, start_sq[None, :], (0, 0))
+        s2b = jnp.full((N, L), BIG)
+        s2b = lax.dynamic_update_slice(
+            s2b, jnp.where(goal_mask, goal_sq, BIG).T, (1, 0)
+        )
+
+        parents = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, L))
+        radii = jnp.full((N, L), INF)
+        iota_N = jnp.arange(N, dtype=jnp.int32)[:, None]
+
+        carry = dict(
+            states=states,
+            states_lm=states_lm,
+            s2a=s2a,
+            s2b=s2b,
+            parents=parents,
+            radii=radii,
+            slot=jnp.int32(1 + G),
+            sizes=jnp.stack(
+                [jnp.ones((L,)), jnp.sum(goal_mask, axis=1).astype(jnp.float32)]
+            ),
+            tree_a=jnp.full((L,), 1 if settings.start_tree_first else 0, jnp.int8),
+            sampler=samplers,
+            iter=jnp.zeros((L,), jnp.int32),
+            done=any_line,
+            mode=jnp.zeros((L,), jnp.int8),
+            c_prior=jnp.zeros((dim, L), jnp.float32),
+            c_prior_idx=jnp.zeros((L,), jnp.int32),
+            c_inc=jnp.zeros((dim, L), jnp.float32),
+            c_inc_len=jnp.zeros((L,), jnp.float32),
+            c_segs_left=jnp.zeros((L,), jnp.int32),
+            c_target=jnp.zeros((L,), jnp.int32),
+            tail_a=jnp.zeros((L,), jnp.int32),
+            tail_b=jnp.zeros((L,), jnp.int32),
+        )
+
+        carry["step"] = jnp.int32(0)
+
+        def running(c):
+            budget = (c["iter"] < settings.max_iterations) | (c["mode"] == CONNECT)
+            return budget & (~c["done"])
+
+        def cond(c):
+            if _FIXED_STEPS:
+                return c["step"] < _FIXED_STEPS
+            return jnp.any(running(c)) & (c["slot"] < N - 1)
+
+        def nearest(s2_sel, states, q_bm):
+            """One-pass NN: sq = s2 - 2 s.q + |q|^2 (s2 carries BIG sentinels).
+            Returns (idx (L,), sqdist (L,))."""
+            dot = jnp.einsum("dnl,dl->nl", states, q_bm)
+            q2 = jnp.sum(q_bm * q_bm, axis=0)
+            sq = s2_sel - 2.0 * dot + q2[None, :]
+            idx = jnp.argmin(sq, axis=0).astype(jnp.int32)
+            return idx, jnp.maximum(jnp.min(sq, axis=0), 0.0)
+
+        def fetch_cfg(states_lm, idx):
+            """(L,) slot ids -> (dim, L) configurations (lane-major gather)."""
+            got = jnp.take_along_axis(states_lm, idx[:, None, None], axis=1)
+            return got[:, 0, :].T
+
+        def body(c):
+            states, states_lm = c["states"], c["states_lm"]
+            s2a, s2b = c["s2a"], c["s2b"]
+            parents, radii = c["parents"], c["radii"]
+            slot, sizes, tree_a = c["slot"], c["sizes"], c["tree_a"]
+            run = running(c)
+            is_ext = c["mode"] == EXTEND
+            extend = run & is_ext
+            continuing = run & ~is_ext
+
+            # -- balance swap (EXTEND lanes only; rrtc.hh:101-109) ----------
+            ta_oh = jnp.stack([tree_a == 0, tree_a == 1]).astype(jnp.float32)
+            asize = jnp.sum(sizes * ta_oh, axis=0)
+            bsize = jnp.sum(sizes * (1.0 - ta_oh), axis=0)
+            ratio = jnp.abs(asize - bsize) / asize
+            do_swap = (
+                jnp.full((L,), True)
+                if not settings.balance
+                else ratio < settings.tree_ratio
+            )
+            tree_a = jnp.where(extend & do_swap, 1 - tree_a, tree_a).astype(jnp.int8)
+            in_a = (tree_a == 0)[None, :]  # (1, L)
+
+            # -- sample; stream advances on EXTEND lanes only ---------------
+            if "halton" in _DISABLE:
+                u = jnp.full((dim, L), 0.5) * (
+                    1.0 + c["step"].astype(jnp.float32) * 1e-4
+                )
+                sampler = c["sampler"]
+            else:
+                u, sampler_next = halton_next(c["sampler"])
+                sampler = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        extend if new.ndim == 1 else extend[None], new, old
+                    ),
+                    sampler_next,
+                    c["sampler"],
+                )
+            sample = u * scale[:, None] + lower[:, None]
+
+            # -- NN in tree_a (rrtc.hh:117-123) -----------------------------
+            if "nn" in _DISABLE:
+                near_idx = jnp.zeros((L,), jnp.int32)
+                near_sq = jnp.ones((L,))
+            else:
+                s2_sel = jnp.where(in_a, s2a, s2b)
+                near_idx, near_sq = nearest(s2_sel, states, sample)
+            near_dist = jnp.sqrt(near_sq)
+            if "gather" in _DISABLE:
+                near_cfg = sample * 0.9
+                near_rad = jnp.full((L,), INF)
+            else:
+                near_cfg = fetch_cfg(states_lm, near_idx)
+                near_rad = jnp.take_along_axis(radii, near_idx[None, :], axis=0)[0]
+            dd_reject = (
+                jnp.bool_(settings.dynamic_domain) & (near_rad < near_dist) & extend
+            )
+
+            vec = sample - near_cfg
+            reach = near_dist < rng_range
+            ext_vec = jnp.where(
+                reach[None],
+                vec,
+                vec * (rng_range / jnp.maximum(near_dist, 1e-12))[None],
+            )
+            ext_dist = jnp.where(reach, near_dist, rng_range)
+            new_cfg = near_cfg + ext_vec
+
+            # -- NN in the other tree, from the speculative new node --------
+            if "nn" in _DISABLE:
+                ob_idx = jnp.ones((L,), jnp.int32)
+                ob_sq = jnp.ones((L,))
+            else:
+                s2_oth = jnp.where(in_a, s2b, s2a)
+                ob_idx, ob_sq = nearest(s2_oth, states, new_cfg)
+            ob_dist = jnp.sqrt(ob_sq)
+            if "gather" in _DISABLE:
+                ob_cfg = new_cfg + 0.1
+            else:
+                ob_cfg = fetch_cfg(states_lm, ob_idx)
+            n_segs = jnp.maximum(jnp.ceil(ob_dist / rng_range), 1.0)
+
+            # Connect increments: fresh for extend lanes, carried for
+            # continuation lanes.
+            inc = jnp.where(
+                is_ext[None], (ob_cfg - new_cfg) / n_segs[None], c["c_inc"]
+            )
+            inc_len = jnp.where(is_ext, ob_dist / n_segs, c["c_inc_len"])
+            segs_total = jnp.where(
+                is_ext, n_segs.astype(jnp.int32), c["c_segs_left"]
+            )
+            base = jnp.where(is_ext[None], new_cfg, c["c_prior"])
+            target = jnp.where(is_ext, ob_idx, c["c_target"])
+
+            # -- one fused validation: extend edge + K connect segments -----
+            # Block 0: the extend edge for EXTEND lanes; for continuation
+            # lanes it is their next connect segment (so blocks 0..K give
+            # them K+1 segments per step).
+            kb = jnp.arange(1, K + 1, dtype=jnp.float32)[:, None, None]
+            p0 = jnp.where(is_ext[None], near_cfg, base)
+            v0 = jnp.where(is_ext[None], ext_vec, inc)
+            d0 = jnp.where(is_ext, ext_dist, inc_len)
+            seg_base = jnp.where(is_ext[None], base, base + inc)
+            p_rest = seg_base[None] + inc[None] * (kb - 1.0)
+            p_blocks = jnp.concatenate([p0[None], p_rest], axis=0)
+            v_blocks = jnp.concatenate(
+                [v0[None], jnp.broadcast_to(inc[None], (K, dim, L))], axis=0
+            )
+            d_blocks = jnp.concatenate(
+                [d0[None], jnp.broadcast_to(inc_len[None], (K, L))], axis=0
+            )
+            if "val" in _DISABLE:
+                valid = jnp.ones((1 + K, L), bool) & (d_blocks < BIG)
+            else:
+                valid = validate_blocks(p_blocks, v_blocks, d_blocks, envs, br, bp)
+
+            # Leading-valid connect segment count per lane. Extend lanes'
+            # segment list is valid[1:] (block 0 was the extend edge), padded
+            # with False; continuation lanes' list is valid[0:] (K+1 segs).
+            ext_ok = extend & valid[0] & ~dd_reject
+            gate = jnp.where(is_ext, ext_ok, continuing)
+            segv_ext = jnp.concatenate([valid[1:], jnp.zeros((1, L), bool)], axis=0)
+            segv = jnp.where(is_ext[None], segv_ext, valid)  # (K+1, L)
+            avail = jnp.where(is_ext, K, K + 1)  # segments offered this step
+            lead = jnp.cumprod(segv.astype(jnp.int8), axis=0).astype(jnp.int32)
+            m_raw = jnp.sum(lead, axis=0)  # leading-True count, 0..K+1
+            m = jnp.where(gate, jnp.minimum(m_raw, segs_total), 0)
+
+            connected = gate & (m >= segs_total)
+
+            # -- dynamic-domain radius update (rrtc.hh:126-129, 229-240) ----
+            grow = ext_ok & jnp.bool_(settings.dynamic_domain) & (near_rad != INF)
+            shrink = (
+                extend & ~valid[0] & ~dd_reject & jnp.bool_(settings.dynamic_domain)
+            )
+            shrunk = jnp.where(
+                near_rad == INF,
+                jnp.float32(settings.radius),
+                jnp.maximum(near_rad * (1.0 - settings.alpha), settings.min_radius),
+            )
+            r_new = jnp.where(
+                grow, near_rad * (1.0 + settings.alpha), jnp.where(shrink, shrunk, near_rad)
+            )
+
+            def _radii_update():
+                oh_near = iota_N == near_idx[None, :]
+                return jnp.where(oh_near & (grow | shrink)[None, :], r_new[None, :], radii)
+
+            if "radii" not in _DISABLE:
+                radii = lax.cond(jnp.any(grow | shrink), _radii_update, lambda: radii)
+
+            # -- insertions: slot0 = extend node, slot1 = connect waypoint --
+            ins0 = ext_ok
+            node0 = new_cfg
+            # farthest validated connect waypoint (colinear prefix merged)
+            way_cfg = base + inc * m.astype(jnp.float32)[None]
+            ins1 = gate & (m >= 1) & ~connected
+            node0_id = slot
+            slot1 = slot + jnp.any(ins0).astype(jnp.int32)
+            node1_id = slot1
+            parent1 = jnp.where(is_ext, node0_id, c["c_prior_idx"])
+
+            def put_row(arr, row, at):
+                return lax.dynamic_update_slice(arr, row[None, :], (at, 0))
+
+            in_a_l = tree_a == 0
+            if "ins" not in _DISABLE:
+                states = lax.dynamic_update_slice(
+                    states, node0[:, None, :], (0, slot, 0)
+                )
+                states_lm = lax.dynamic_update_slice(
+                    states_lm, node0.T[:, None, :], (0, slot, 0)
+                )
+                states = lax.dynamic_update_slice(
+                    states, way_cfg[:, None, :], (0, slot1, 0)
+                )
+                states_lm = lax.dynamic_update_slice(
+                    states_lm, way_cfg.T[:, None, :], (0, slot1, 0)
+                )
+
+                n0_sq = jnp.sum(node0 * node0, axis=0)
+                n1_sq = jnp.sum(way_cfg * way_cfg, axis=0)
+                s2a = put_row(s2a, jnp.where(ins0 & in_a_l, n0_sq, BIG), slot)
+                s2b = put_row(s2b, jnp.where(ins0 & ~in_a_l, n0_sq, BIG), slot)
+                s2a = put_row(s2a, jnp.where(ins1 & in_a_l, n1_sq, BIG), slot1)
+                s2b = put_row(s2b, jnp.where(ins1 & ~in_a_l, n1_sq, BIG), slot1)
+                # Inactive slots self-parent so a path walk can't escape them.
+                parents = put_row(
+                    parents,
+                    jnp.where(ins0, near_idx, jnp.broadcast_to(node0_id, (L,))),
+                    slot,
+                )
+                parents = put_row(
+                    parents,
+                    jnp.where(ins1, parent1, jnp.broadcast_to(node1_id, (L,))),
+                    slot1,
+                )
+                radii = put_row(radii, jnp.full((L,), INF), slot)
+                radii = put_row(radii, jnp.full((L,), INF), slot1)
+
+            slot_next = slot1 + jnp.any(ins1).astype(jnp.int32)
+            ta2 = jnp.stack([in_a_l, ~in_a_l]).astype(jnp.float32)
+            sizes = sizes + ta2 * (
+                ins0.astype(jnp.float32) + ins1.astype(jnp.float32)
+            )
+
+            # -- mode transitions ------------------------------------------
+            # Extend lanes whose edge validated but connect unfinished keep
+            # connecting next step; all-segs-done lanes finish; failures (or
+            # rejected samples) sample anew.
+            # `more` = every offered segment validated and segments remain;
+            # a partial prefix means the connect hit an obstacle -> resample.
+            more = gate & ~connected & (m_raw >= avail)
+            mode = jnp.where(run, jnp.where(more, CONNECT, EXTEND), c["mode"]).astype(
+                jnp.int8
+            )
+            c_prior = jnp.where(more[None], way_cfg, c["c_prior"])
+            c_prior_idx = jnp.where(more, node1_id, c["c_prior_idx"])
+            segs_left = jnp.where(more, segs_total - m, c["c_segs_left"])
+
+            tail_a = jnp.where(
+                connected, jnp.where(is_ext, node0_id, c["c_prior_idx"]), c["tail_a"]
+            )
+            tail_b = jnp.where(connected, target, c["tail_b"])
+
+            return dict(
+                step=c["step"] + 1,
+                states=states,
+                states_lm=states_lm,
+                s2a=s2a,
+                s2b=s2b,
+                parents=parents,
+                radii=radii,
+                slot=slot_next,
+                sizes=sizes,
+                tree_a=tree_a,
+                sampler=sampler,
+                iter=c["iter"] + extend.astype(jnp.int32),
+                done=c["done"] | connected,
+                mode=mode,
+                c_prior=c_prior,
+                c_prior_idx=c_prior_idx,
+                c_inc=jnp.where(more[None], inc, c["c_inc"]),
+                c_inc_len=jnp.where(more, inc_len, c["c_inc_len"]),
+                c_segs_left=segs_left,
+                c_target=jnp.where(more, target, c["c_target"]),
+                tail_a=tail_a,
+                tail_b=tail_b,
+            )
+
+        out = lax.while_loop(cond, body, carry)
+
+        # -- path recovery --------------------------------------------------
+        # tail_a is the junction node in tree_a; tail_b the connect target in
+        # the other tree (the validated straight junction->target edge is
+        # implicit). Both chains include their endpoint.
+        states_lm = out["states_lm"]  # (L, N, dim)
+        parents_lm = out["parents"].T  # (L, N)
+        tree_a_end = out["tree_a"]
+
+        def walk(tail):
+            def step(i, acc):
+                buf, cur, length = acc
+                buf = buf.at[:, i].set(cur)
+                nxt = jnp.take_along_axis(parents_lm, cur[:, None], 1)[:, 0]
+                length = jnp.where(cur == nxt, length, length + 1)
+                return buf, nxt, length
+
+            buf = jnp.zeros((L, max_path), jnp.int32)
+            buf, _, length = lax.fori_loop(
+                0, max_path, step, (buf, tail, jnp.ones((L,), jnp.int32))
+            )
+            return buf, length
+
+        chain_a, len_a = walk(out["tail_a"])
+        chain_b, len_b = walk(out["tail_b"])
+        total = len_a + len_b
+
+        pos = jnp.arange(max_path)[None, :]
+        idx_a = jnp.clip(len_a[:, None] - 1 - pos, 0, max_path - 1)
+        idx_b = jnp.clip(pos - len_a[:, None], 0, max_path - 1)
+        seq = jnp.where(
+            pos < len_a[:, None],
+            jnp.take_along_axis(chain_a, idx_a, 1),
+            jnp.take_along_axis(chain_b, idx_b, 1),
+        )
+        flipped_idx = jnp.clip(total[:, None] - 1 - pos, 0, max_path - 1)
+        seq_flipped = jnp.take_along_axis(seq, flipped_idx, 1)
+        seq = jnp.where((tree_a_end == 0)[:, None], seq, seq_flipped)
+        path = jnp.take_along_axis(states_lm, seq[:, :, None], 1)
+
+        line_goal = jnp.take_along_axis(goals, first_goal[:, None, None], 1)[:, 0]
+        line_path = jnp.zeros((L, max_path, dim), jnp.float32)
+        line_path = line_path.at[:, 0, :].set(starts).at[:, 1, :].set(line_goal)
+        path = jnp.where(any_line[:, None, None], line_path, path)
+        total = jnp.where(any_line, 2, total)
+
+        deltas = jnp.linalg.norm(path[:, 1:] - path[:, :-1], axis=2)
+        seg_mask = jnp.arange(1, max_path)[None, :] < total[:, None]
+        cost = jnp.sum(jnp.where(seg_mask, deltas, 0.0), axis=1)
+
+        solved = out["done"]
+        return RRTCResult(
+            path=path,
+            path_length=jnp.where(solved, total, 0).astype(jnp.int32),
+            cost=jnp.where(solved, cost, 0.0),
+            iterations=out["iter"],
+            solved=solved,
+            tree_sizes=out["sizes"].T.astype(jnp.int32),
+            sampler=out["sampler"],
+        )
+
+    return solve_batch

@@ -59,6 +59,7 @@ def make_simplify_batch(
     settings: SimplifySettings,
     max_path: int = 128,
     chunk_states: int = 64,
+    seed: int = 0,
 ):
     """Build `simplify(paths (L,P,dim), lengths (L,), envs, base_rot?,
     base_pos?) -> SimplifyResult`. P must be >= the planner's max_path."""
@@ -192,13 +193,195 @@ def make_simplify_batch(
         )
         return paths, lengths, changed
 
-    ops = {SHORTCUT: shortcut, BSPLINE: bspline}
-    enabled = [op for op in settings.operations if op in (SHORTCUT, BSPLINE)]
-    skipped = [op for op in settings.operations if op not in (SHORTCUT, BSPLINE)]
-    if skipped:
-        raise NotImplementedError(
-            f"randomized simplification routines not yet implemented: {skipped}"
+    def _gather_pt(paths, idx):
+        return jnp.take_along_axis(
+            paths, jnp.clip(idx, 0, P - 1)[:, None, None], 1
+        )[:, 0, :]
+
+    def reduce_op(paths, lengths, envs, br, bp, key):
+        """Randomized shortcutting (reduce_path_vertices, simplify.hh:55-113).
+
+        Faithful control flow — per lane: draw endpoints p0, p1 within
+        range_ratio of each other, widen |p0-p1| < 2 picks, validate the
+        straight p0->p1 motion, erase the interior on success; loop while
+        `i < max_steps OR no_change < max_empty_steps` (the reference's OR).
+        Randomness: per-lane jax.random in place of the RNG's mt19937
+        (documented deviation — that stream is not portable anyway)."""
+        rs = settings.reduce
+        L = paths.shape[0]
+        max_steps = rs.max_steps if rs.max_steps else P
+        max_empty = rs.max_empty_steps if rs.max_empty_steps else P
+
+        def act(c):
+            return c["live"] & ((c["i"] < max_steps) | (c["empty"] < max_empty))
+
+        def cond(c):
+            return jnp.any(act(c))
+
+        def body(c):
+            paths, lengths = c["paths"], c["lengths"]
+            key = jax.random.wrap_key_data(c["key"])
+            key, k0, k1 = jax.random.split(key, 3)
+            live = act(c)
+            max_n = lengths - 1
+            rng_range = 1 + jnp.floor(
+                0.5 + lengths.astype(jnp.float32) * rs.range_ratio
+            ).astype(jnp.int32)
+            p0 = jax.random.randint(k0, (L,), 0, jnp.maximum(max_n + 1, 1))
+            lo = jnp.maximum(p0 - rng_range, 0)
+            hi = jnp.minimum(max_n, p0 + rng_range)
+            p1 = jax.random.randint(k1, (L,), lo, jnp.maximum(hi + 1, lo + 1))
+            near = jnp.abs(p0 - p1) < 2
+            p1 = jnp.where(
+                near & (p0 < max_n - 1),
+                p0 + 2,
+                jnp.where(near & (p0 > 1), p0 - 2, p1),
+            )
+            skip = near & ~(p0 < max_n - 1) & ~(p0 > 1)
+            a = jnp.minimum(p0, p1)
+            b = jnp.maximum(p0, p1)
+
+            pa = _gather_pt(paths, a)
+            pb = _gather_pt(paths, b)
+            vec = pb - pa
+            dist = jnp.linalg.norm(vec, axis=1)
+            try_edge = live & ~skip & (b > a + 1)
+            ok = validate_edges(
+                pa[:, None], vec[:, None], dist[:, None], envs, br, bp,
+                try_edge[:, None],
+            )[:, 0]
+            do_cut = try_edge & ok
+
+            k = jnp.arange(P)[None, :]
+            removed = jnp.where(do_cut, b - a - 1, 0)[:, None]
+            src = jnp.where(k <= a[:, None], k, k + removed)
+            src = jnp.clip(src, 0, P - 1)
+            cut_paths = jnp.take_along_axis(paths, src[:, :, None], 1)
+            paths = jnp.where(do_cut[:, None, None], cut_paths, paths)
+            lengths = jnp.where(do_cut, lengths - removed[:, 0], lengths)
+
+            return dict(
+                paths=paths,
+                lengths=lengths,
+                i=c["i"] + live.astype(jnp.int32),
+                empty=jnp.where(do_cut, 0, c["empty"] + live.astype(jnp.int32)),
+                live=c["live"],
+                changed=c["changed"] | do_cut,
+                key=jax.random.key_data(key),
+            )
+
+        init = dict(
+            paths=paths,
+            lengths=lengths,
+            i=jnp.zeros((paths.shape[0],), jnp.int32),
+            empty=jnp.zeros((paths.shape[0],), jnp.int32),
+            live=lengths >= 3,
+            changed=jnp.zeros((paths.shape[0],), bool),
+            key=jax.random.key_data(key),
         )
+        out = jax.lax.while_loop(cond, body, init)
+        return out["paths"], out["lengths"], out["changed"]
+
+    def perturb_op(paths, lengths, envs, br, bp, key):
+        """Random vertex perturbation (perturb_path, simplify.hh:143-190).
+
+        Per lane and step: pick an interior vertex, try
+        `perturbation_attempts` random moves of size `range` toward sampled
+        configurations, accept the first that lowers local cost with both
+        adjacent motions valid. Loop while `step < max_steps AND
+        no_change < max_empty_steps` (the reference's AND). All attempts for
+        all lanes validate in one fused call."""
+        ps = settings.perturb
+        L = paths.shape[0]
+        A = ps.perturbation_attempts
+        max_steps = ps.max_steps if ps.max_steps else P
+        max_empty = ps.max_empty_steps if ps.max_empty_steps else P
+        lower = jnp.asarray(spec.lower)
+        scale = jnp.asarray(spec.range)
+
+        def act(c):
+            return c["live"] & (c["i"] < max_steps) & (c["empty"] < max_empty)
+
+        def cond(c):
+            return jnp.any(act(c))
+
+        def body(c):
+            paths, lengths = c["paths"], c["lengths"]
+            key = jax.random.wrap_key_data(c["key"])
+            key, ki, ku = jax.random.split(key, 3)
+            live = act(c)
+            idx = jax.random.randint(ki, (L,), 1, jnp.maximum(lengths - 1, 2))
+            p_cur = _gather_pt(paths, idx)
+            p_before = _gather_pt(paths, idx - 1)
+            p_after = _gather_pt(paths, idx + 1)
+            old_cost = jnp.linalg.norm(p_cur - p_before, axis=1) + jnp.linalg.norm(
+                p_cur - p_after, axis=1
+            )
+
+            u = jax.random.uniform(ku, (A, L, dim))
+            target = u * scale[None, None, :] + lower[None, None, :]
+            new = p_cur[None] + (target - p_cur[None]) * ps.range  # (A, L, dim)
+            new_cost = jnp.linalg.norm(new - p_before[None], axis=2) + jnp.linalg.norm(
+                new - p_after[None], axis=2
+            )
+            improves = (new_cost < old_cost[None]) & live[None]  # (A, L)
+
+            # validate before->new and after->new for every attempt at once
+            starts = jnp.concatenate(
+                [
+                    jnp.broadcast_to(p_before[None], (A, L, dim)),
+                    jnp.broadcast_to(p_after[None], (A, L, dim)),
+                ],
+                axis=0,
+            ).transpose(1, 0, 2)  # (L, 2A, dim)
+            vecs = jnp.concatenate([new - p_before[None], new - p_after[None]], axis=0
+                                   ).transpose(1, 0, 2)
+            dists = jnp.linalg.norm(vecs, axis=2)
+            mask = jnp.concatenate([improves, improves], axis=0).T  # (L, 2A)
+            ok = validate_edges(starts, vecs, dists, envs, br, bp, mask)
+            good = improves.T & ok[:, :A] & ok[:, A:]  # (L, A)
+            any_good = jnp.any(good, axis=1)
+            first = jnp.argmax(good, axis=1)  # first accepted attempt
+            chosen = jnp.take_along_axis(
+                new.transpose(1, 0, 2), first[:, None, None], 1
+            )[:, 0, :]
+
+            lanes = jnp.arange(L)
+            upd = jnp.where(any_good[:, None], chosen - p_cur, 0.0)
+            paths = paths.at[lanes, jnp.clip(idx, 0, P - 1), :].add(upd)
+
+            return dict(
+                paths=paths,
+                lengths=lengths,
+                i=c["i"] + live.astype(jnp.int32),
+                empty=jnp.where(any_good, 0, c["empty"] + live.astype(jnp.int32)),
+                live=c["live"],
+                changed=c["changed"] | any_good,
+                key=jax.random.key_data(key),
+            )
+
+        init = dict(
+            paths=paths,
+            lengths=lengths,
+            i=jnp.zeros((paths.shape[0],), jnp.int32),
+            empty=jnp.zeros((paths.shape[0],), jnp.int32),
+            live=lengths >= 3,
+            changed=jnp.zeros((paths.shape[0],), bool),
+            key=jax.random.key_data(key),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        return out["paths"], out["lengths"], out["changed"]
+
+    ops = {
+        SHORTCUT: lambda p, l, e, br, bp, key: shortcut(p, l, e, br, bp),
+        BSPLINE: lambda p, l, e, br, bp, key: bspline(p, l, e, br, bp),
+        REDUCE: reduce_op,
+        PERTURB: perturb_op,
+    }
+    enabled = [op for op in settings.operations if op in ops]
+    unknown = [op for op in settings.operations if op not in ops]
+    if unknown:
+        raise ValueError(f"unknown simplification routines: {unknown}")
 
     def simplify(
         paths: jnp.ndarray,
@@ -226,28 +409,35 @@ def make_simplify_batch(
         direct = (lengths == 2) | ((lengths > 2) & line_ok)
 
         def loop_body(c):
-            paths, lengths, it, live = c
+            paths, lengths, it, live, keydata = c
+            key = jax.random.wrap_key_data(keydata)
             any_change = jnp.zeros((L,), bool)
             for op in enabled:
                 # ops mutate the path in place in the reference (e.g. bspline's
                 # subdivision persists even when no midpoint moved) — commit
                 # outputs for every live lane; `changed` only drives the loop.
-                p2, l2, ch = ops[op](paths, lengths, envs, br, bp)
+                key, sub = jax.random.split(key)
+                p2, l2, ch = ops[op](paths, lengths, envs, br, bp, sub)
                 paths = jnp.where(live[:, None, None], p2, paths)
                 lengths = jnp.where(live, l2, lengths)
                 any_change = any_change | (ch & live)
             it = it + live.astype(jnp.int32)
             live = live & any_change & (it < settings.max_iterations)
-            return paths, lengths, it, live
+            return paths, lengths, it, live, jax.random.key_data(key)
 
         def loop_cond(c):
-            _, _, _, live = c
-            return jnp.any(live)
+            return jnp.any(c[3])
 
         live0 = ~direct & (lengths > 2)
-        paths_o, lengths_o, iters, _ = jax.lax.while_loop(
+        paths_o, lengths_o, iters, _, _ = jax.lax.while_loop(
             loop_cond, loop_body,
-            (paths, lengths, jnp.zeros((L,), jnp.int32), live0),
+            (
+                paths,
+                lengths,
+                jnp.zeros((L,), jnp.int32),
+                live0,
+                jax.random.key_data(jax.random.PRNGKey(seed)),
+            ),
         )
 
         # direct lanes collapse to [first, last]

@@ -104,6 +104,54 @@ def halton_next(state: HaltonState):
     return sample, HaltonState(b=b, n=n, d=d, iterations=it)
 
 
+def halton_state_at(index, dim: int, bases=None) -> "HaltonState":
+    """Closed-form state after `index` samples (host-side, O(log index)).
+
+    The incremental counters (n, d) after drawing sample i are exactly
+    d = b^k (k = digits of i in base b) and n = digit-reversal of i — i.e.
+    the radical inverse n/d (verified against halton_next step-for-step).
+    `index` may be a scalar or an (L,) array (batched, batch-minor output).
+    Exact in f32 for index < ~6e6 (d stays below 2^24 for base 3).
+
+    The `iterations` counter restarts at 0 so the 1M-precision base rotation
+    (halton.hh:11) happens after a further 1M draws, not immediately.
+    """
+    idx = np.atleast_1d(np.asarray(index, np.int64))
+    if bases is None:
+        bases = PRIMES[:dim]
+    bases = np.asarray(bases)
+    if bases.ndim == 1:
+        bases = np.broadcast_to(bases[:, None], (dim, len(idx)))
+    L = idx.shape[0]
+    n = np.zeros((dim, L), np.float64)
+    d = np.ones((dim, L), np.float64)
+    for j in range(dim):
+        for l in range(L):
+            b = int(bases[j, l])
+            s = int(idx[l])
+            if s == 0:
+                continue
+            nn, dd, x = 0, 1, s
+            while x > 0:
+                nn = nn * b + (x % b)
+                dd *= b
+                x //= b
+            n[j, l] = nn
+            d[j, l] = dd
+    state = HaltonState(
+        b=jnp.asarray(bases, jnp.float32),
+        n=jnp.asarray(n, jnp.float32),
+        d=jnp.asarray(d, jnp.float32),
+        iterations=jnp.zeros((L,), jnp.int32),
+    )
+    if np.isscalar(index) or np.asarray(index).ndim == 0:
+        return HaltonState(
+            b=state.b[:, 0], n=state.n[:, 0], d=state.d[:, 0],
+            iterations=state.iterations[0],
+        )
+    return state
+
+
 def halton_skip(state: HaltonState, count) -> HaltonState:
     """Advance the stream by `count` samples (reference RNG.skip)."""
 

@@ -82,6 +82,9 @@ class RoadmapSettings:
     neighbor_params: str = "prm_star"
     max_neighbors: int = 32  # static cap for the TPU neighbor lists
     neighbor_radius: float = float("inf")
+    # Keep refining after the first solution (reference roadmap.hh:170;
+    # FCIT* anytime mode, fcit.hh:311-344).
+    optimize: bool = False
 
 
 @dataclass(frozen=True)
@@ -91,6 +94,11 @@ class AORRTCSettings:
     max_samples: int = 100_000
     optimize: bool = True
     cost_bound_resample: bool = True
+    # Batched stand-in for the reference's unbounded parent-resampling loop
+    # (aorrtc.hh:238-305): at most this many re-parent rounds per insertion
+    # (the reference loop typically stops within a couple of rounds via its
+    # same-parent / no-improvement / invalid-edge exits).
+    cost_bound_resample_rounds: int = 2
     use_phs: bool = True
     rrtc: RRTCSettings = field(default_factory=RRTCSettings)
     simplify: SimplifySettings = field(default_factory=SimplifySettings)
