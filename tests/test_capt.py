@@ -64,3 +64,49 @@ def test_capt_through_environment_fkcc():
     # the cloud can only remove validity, and must actually hit some configs
     assert np.all(~with_cloud | without)
     assert with_cloud.sum() < without.sum()
+
+
+def test_capt_pad_and_stack_exact():
+    """pad_capt deepening and stack_capts lane batching leave query results
+    bit-identical to the per-lane trees (and to brute force)."""
+    from vamp_tpu.ops.capt import build_capt, capt_collides_bm, pad_capt, stack_capts
+
+    rng = np.random.default_rng(0)
+    capts, clouds = [], []
+    for n in (37, 100, 400):
+        pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        clouds.append(pts)
+        capts.append(build_capt(pts, 0.01, 0.3, 0.0025))
+
+    S, B = 4, 50
+    for c, pts in zip(capts, clouds):
+        xs = jnp.asarray(rng.uniform(-1.2, 1.2, (S, B)).astype(np.float32))
+        ys = jnp.asarray(rng.uniform(-1.2, 1.2, (S, B)).astype(np.float32))
+        zs = jnp.asarray(rng.uniform(-1.2, 1.2, (S, B)).astype(np.float32))
+        r = jnp.full((S, 1), 0.15)
+        h0 = np.asarray(capt_collides_bm(c, xs, ys, zs, r))
+        cp = pad_capt(c, 10, c.leaf_points.shape[1] + 7)
+        h1 = np.asarray(capt_collides_bm(cp, xs, ys, zs, r))
+        d = (
+            (np.asarray(xs)[..., None] - pts[:, 0]) ** 2
+            + (np.asarray(ys)[..., None] - pts[:, 1]) ** 2
+            + (np.asarray(zs)[..., None] - pts[:, 2]) ** 2
+        )
+        bf = (d < (0.15 + 0.0025) ** 2).any(axis=(0, 2))
+        assert np.array_equal(h0, h1)
+        assert np.array_equal(h0, bf)
+
+    st = stack_capts(capts)
+    L = len(capts)
+    xs = jnp.asarray(rng.uniform(-1.2, 1.2, (S, 20, L)).astype(np.float32))
+    ys = jnp.asarray(rng.uniform(-1.2, 1.2, (S, 20, L)).astype(np.float32))
+    zs = jnp.asarray(rng.uniform(-1.2, 1.2, (S, 20, L)).astype(np.float32))
+    r = jnp.full((S, 1, 1), 0.15)
+    hb = np.asarray(capt_collides_bm(st, xs, ys, zs, r))
+    for l in range(L):
+        hl = np.asarray(
+            capt_collides_bm(
+                capts[l], xs[..., l], ys[..., l], zs[..., l], jnp.full((S, 1), 0.15)
+            )
+        )
+        assert np.array_equal(hb[:, l], hl)

@@ -1,0 +1,204 @@
+"""Round-2 feature coverage: turbo solver soundness, randomized
+simplification ops, FCIT* anytime semantics, AORRTC cost-bound resampling,
+and the PlanningResult path-utility surface (plan.hh:10-169)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow  # planner-heavy: ~8 min on CPU
+
+import vamp_tpu as vamp
+from vamp_tpu.api import PlanningResult
+from vamp_tpu.env import Environment, Sphere
+from vamp_tpu.planners.rrtc import make_rrtc_batch
+from vamp_tpu.planners.rrtc_turbo import make_rrtc_turbo_batch
+from vamp_tpu.robots.descriptions import load_robot
+from vamp_tpu.utils.settings import (
+    AORRTCSettings,
+    PERTURB,
+    REDUCE,
+    RoadmapSettings,
+    RRTCSettings,
+    SimplifySettings,
+)
+
+SPHERE_CAGE = [
+    [0.55, 0, 0.25], [0.35, 0.35, 0.25], [0, 0.55, 0.25], [-0.55, 0, 0.25],
+    [-0.35, -0.35, 0.25], [0, -0.55, 0.25], [0.35, -0.35, 0.25], [0.35, 0.35, 0.8],
+    [0, 0.55, 0.8], [-0.35, 0.35, 0.8], [-0.55, 0, 0.8], [-0.35, -0.35, 0.8],
+    [0, -0.55, 0.8], [0.35, -0.35, 0.8],
+]
+START = [0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785]
+GOAL = [2.35, 1.0, 0.0, -0.8, 0.0, 2.5, 0.785]
+
+
+@pytest.fixture(scope="module")
+def cage():
+    e = Environment()
+    for c in SPHERE_CAGE:
+        e.add_sphere(Sphere(c, 0.2))
+    return e
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return load_robot("panda")
+
+
+@pytest.fixture(scope="module")
+def turbo_result(spec, cage):
+    settings = RRTCSettings(range=1.0, max_iterations=3000, max_samples=4096)
+    solve = jax.jit(make_rrtc_turbo_batch(spec, settings, 1, 128))
+    return solve(
+        jnp.asarray([START], jnp.float32),
+        jnp.asarray([[GOAL]], jnp.float32),
+        jnp.ones((1, 1), bool),
+        cage.pack(),
+    )
+
+
+def test_turbo_solves_with_valid_path(turbo_result, cage):
+    mod = vamp.robot_module("panda")
+    assert bool(turbo_result.solved[0])
+    n = int(turbo_result.path_length[0])
+    p = np.asarray(turbo_result.path[0])[:n]
+    assert np.allclose(p[0], START, atol=1e-5)
+    assert np.allclose(p[-1], GOAL, atol=1e-5)
+    assert mod.validate_path(p, cage)
+    # cost equals the summed segment lengths
+    assert float(turbo_result.cost[0]) == pytest.approx(
+        float(np.linalg.norm(np.diff(p, axis=0), axis=1).sum()), rel=1e-5
+    )
+
+
+@pytest.mark.parametrize("ops", [(REDUCE,), (PERTURB,)])
+def test_randomized_simplify_ops(spec, cage, turbo_result, ops):
+    from vamp_tpu.planners.simplify import make_simplify_batch
+
+    mod = vamp.robot_module("panda")
+    n = int(turbo_result.path_length[0])
+    buf = jnp.zeros((1, 256, 7)).at[0, :128].set(turbo_result.path[0])
+    simp = jax.jit(
+        make_simplify_batch(spec, SimplifySettings(operations=ops), 256, 16)
+    )
+    out = simp(buf, jnp.asarray([n], np.int32), cage.pack())
+    m = int(out.path_length[0])
+    p = np.asarray(out.path[0])[:m]
+    assert float(out.cost[0]) <= float(turbo_result.cost[0]) + 1e-4
+    assert np.allclose(p[0], START, atol=1e-5)
+    assert np.allclose(p[-1], GOAL, atol=1e-5)
+    assert mod.validate_path(p, cage)
+
+
+def test_fcit_anytime_trace_monotone_and_sound(spec, cage):
+    from vamp_tpu.planners.fcit import make_fcit_batch
+
+    mod = vamp.robot_module("panda")
+    rset = RoadmapSettings(
+        max_iterations=5, max_samples=512, batch_size=64, optimize=True
+    )
+    fc = jax.jit(make_fcit_batch(spec, rset, n_goals=1))
+    r = fc(
+        jnp.asarray([START], jnp.float32),
+        jnp.asarray([[GOAL]], jnp.float32),
+        jnp.ones((1, 1), bool),
+        cage.pack(),
+    )
+    assert bool(r.solved[0])
+    assert int(r.iterations[0]) == 5  # optimize keeps refining to the budget
+    trace = np.asarray(r.cost_trace[0])
+    finite = trace[np.isfinite(trace)]
+    assert len(finite) >= 1
+    # validated-only costs can only improve as samples accumulate
+    assert np.all(np.diff(finite) <= 1e-4)
+    # returned path is sound (every edge validated)
+    n = int(r.path_length[0])
+    assert mod.validate_path(np.asarray(r.path[0])[:n], cage)
+
+
+def test_fcit_stops_without_optimize(spec, cage):
+    from vamp_tpu.planners.fcit import make_fcit_batch
+
+    rset = RoadmapSettings(
+        max_iterations=5, max_samples=512, batch_size=64, optimize=False
+    )
+    fc = jax.jit(make_fcit_batch(spec, rset, n_goals=1))
+    r = fc(
+        jnp.asarray([START], jnp.float32),
+        jnp.asarray([[GOAL]], jnp.float32),
+        jnp.ones((1, 1), bool),
+        cage.pack(),
+    )
+    assert bool(r.solved[0])
+    assert int(r.iterations[0]) < 5  # stopped at first solution
+
+
+def test_aorrtc_resample_improves_and_counts(spec, cage):
+    from vamp_tpu.planners.aorrtc import make_aorrtc_batch
+
+    base = AORRTCSettings(
+        max_iterations=2000,
+        max_samples=4096,
+        rrtc=RRTCSettings(range=1.0),
+        cost_bound_resample=False,
+    )
+    on = AORRTCSettings(
+        max_iterations=2000,
+        max_samples=4096,
+        rrtc=RRTCSettings(range=1.0),
+        cost_bound_resample=True,
+    )
+    outs = {}
+    for name, s in (("off", base), ("on", on)):
+        solve = make_aorrtc_batch(spec, s, rounds=1)
+        paths, lens, costs, solved, iters = solve(
+            jnp.asarray([START], jnp.float32),
+            jnp.asarray([GOAL], jnp.float32),
+            cage.pack(),
+        )
+        assert bool(solved[0])
+        # honest iteration accounting: initial rrtc + optimization rounds
+        assert 0 < int(iters[0]) <= 2 * 2000
+        outs[name] = float(costs[0])
+    # both converge to reasonable costs; resampling must not hurt much
+    assert outs["on"] <= outs["off"] * 1.25
+
+
+def test_planning_result_path_utilities():
+    p = np.array([[0] * 7, [1] + [0] * 6, [3] + [0] * 6], np.float32)
+    r = PlanningResult(path=p.copy(), cost=3.0, nanoseconds=0, iterations=1, size=[1, 1])
+    r.subdivide()
+    assert len(r.path) == 5
+    np.testing.assert_allclose(r.path[1, 0], 0.5)
+
+    r2 = PlanningResult(path=p.copy(), cost=3.0, nanoseconds=0, iterations=1, size=[1, 1])
+    r2.interpolate_to_resolution(4)
+    # 3 rad path at 4 states/rad -> 12 segments + endpoint
+    assert len(r2.path) == 13
+    d = np.linalg.norm(np.diff(r2.path, axis=0), axis=1)
+    assert d.max() <= 0.25 + 1e-5
+
+    r3 = PlanningResult(path=p.copy(), cost=3.0, nanoseconds=0, iterations=1, size=[1, 1])
+    r3.interpolate_to_n_states(9)
+    assert len(r3.path) == 9
+    np.testing.assert_allclose(r3.path[0], p[0])
+    np.testing.assert_allclose(r3.path[-1], p[-1])
+
+
+def test_halton_state_at_matches_stream():
+    from vamp_tpu.samplers.halton import (
+        halton_init,
+        halton_next,
+        halton_state_at,
+    )
+
+    s = halton_init(7)
+    nxt = jax.jit(halton_next)
+    for i in range(1, 40):
+        x, s = nxt(s)
+        if i in (1, 7, 25, 39):
+            r = halton_state_at(i, 7)
+            np.testing.assert_array_equal(np.asarray(s.n), np.asarray(r.n))
+            np.testing.assert_array_equal(np.asarray(s.d), np.asarray(r.d))

@@ -249,6 +249,41 @@ int main()
         std::printf("],\n");
     }
 
+    // -- heightfield narrow phase (sphere_heightfield.hh:9-30) -------------
+    {
+        // 16x16 sinusoidal height image. Queries stay strictly in-bounds:
+        // the reference clamps the float index to [0, xd] and floors, so a
+        // saturated coordinate reads data[...xd] — out of bounds (vamp_tpu
+        // clamps to xd-1 instead; see ops/fkcc_bm.py).
+        constexpr std::size_t xd = 16, yd = 16;
+        std::vector<float> hdata(xd * yd);
+        for (std::size_t iy = 0; iy < yd; ++iy)
+            for (std::size_t ix = 0; ix < xd; ++ix)
+                hdata[iy * xd + ix] = 0.1F * std::sin(0.7F * static_cast<float>(ix)) *
+                                          std::cos(0.5F * static_cast<float>(iy)) +
+                                      0.05F * static_cast<float>(ix) / 16.0F;
+        EnvF henv;
+        henv.heightfields.emplace_back(collision::HeightField<float>(
+            0.0F, 0.0F, 0.0F, 8.0F, 8.0F, 1.0F, xd, yd, hdata));
+        henv.sort();
+        EnvV henv_v(henv);
+        std::mt19937 gen(11);
+        std::uniform_real_distribution<float> u(-0.8F, 0.8F);
+        std::uniform_real_distribution<float> uz(-0.3F, 0.5F);
+        std::printf("\"heightfield_points\": [");
+        for (int i = 0; i < 256; ++i)
+        {
+            float x = u(gen), y = u(gen), z = uz(gen);
+            float r = 0.02F + 0.05F * std::abs(u(gen));
+            bool hit = sphere_environment_in_collision(
+                henv_v, FloatVector<rake>::fill(x), FloatVector<rake>::fill(y),
+                FloatVector<rake>::fill(z), FloatVector<rake>::fill(r));
+            std::printf("%s\n    [%.9g,%.9g,%.9g,%.9g,%s]", i ? "," : "", x, y, z, r,
+                        hit ? "true" : "false");
+        }
+        std::printf("],\n");
+    }
+
     // -- Halton sequences --------------------------------------------------
     {
         std::printf("\"halton7\": [");

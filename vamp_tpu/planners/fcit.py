@@ -71,7 +71,7 @@ def make_fcit_batch(
     settings: RoadmapSettings,
     n_goals: int = 1,
     max_path: int = 64,
-    lazy_iters: int = 32,
+    lazy_iters: int = 192,
 ):
     """Build `solve(starts (L,dim), goals (L,G,dim), goal_mask, envs,
     samplers?) -> FCITResult`.
