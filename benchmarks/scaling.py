@@ -1,0 +1,117 @@
+"""Multi-device scaling measurement (SURVEY §5.8, BASELINE ≥80% linearity).
+
+Weak scaling of the sharded turbo solver over a (dp,) device mesh: every
+device carries the same per-device problem batch (sphere-cage problems with
+per-lane jittered starts and independent Halton streams), so ideal scaling
+keeps wall time flat as devices double — solves/s grows linearly. The metric
+reported per n_devices is solves/s and parallel efficiency vs 1 device.
+
+Without multi-chip hardware, run on the virtual CPU mesh (the standard JAX
+substitute — same program, same collectives, same shardings):
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/scaling.py
+
+Virtual devices share one CPU's cores, so *time* cannot scale there — the
+artifact checks shard-result correctness and records per-device throughput;
+on real multi-chip hardware the identical program yields the true curve
+(problems are independent: the only collective is the final best-cost
+all-gather of L floats).
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+
+
+def main(per_device: int = 8, budget: int = 1500):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # sitecustomize forces axon
+    import jax.numpy as jnp
+
+    import vamp_tpu as vamp
+    from vamp_tpu.parallel.mesh import make_mesh, make_sharded_batch_solver
+    from vamp_tpu.planners.rrtc_turbo import make_rrtc_turbo_batch
+    from vamp_tpu.robots.descriptions import load_robot
+    from vamp_tpu.samplers.halton import halton_state_at
+    from vamp_tpu.utils.settings import RRTCSettings
+
+    cage = [
+        [0.55, 0, 0.25], [0.35, 0.35, 0.25], [0, 0.55, 0.25], [-0.55, 0, 0.25],
+        [-0.35, -0.35, 0.25], [0, -0.55, 0.25], [0.35, -0.35, 0.25],
+        [0.35, 0.35, 0.8], [0, 0.55, 0.8], [-0.35, 0.35, 0.8], [-0.55, 0, 0.8],
+        [-0.35, -0.35, 0.8], [0, -0.55, 0.8], [0.35, -0.35, 0.8],
+    ]
+    e = vamp.Environment()
+    for c in cage:
+        e.add_sphere(vamp.Sphere(c, 0.2))
+    env = e.pack()
+    spec = load_robot("panda")
+
+    start = np.asarray([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785], np.float32)
+    goal = np.asarray([2.35, 1.0, 0.0, -0.8, 0.0, 2.5, 0.785], np.float32)
+
+    settings = RRTCSettings(range=1.0, max_iterations=budget, max_samples=2 * budget)
+    solve = make_rrtc_turbo_batch(spec, settings, n_goals=1, max_path=128)
+
+    n_avail = len(jax.devices())
+    results = {}
+    for ndev in [n for n in (1, 2, 4, 8) if n <= n_avail]:
+        mesh = make_mesh(ndev, sp=1)
+        L = per_device * ndev
+        rng = np.random.default_rng(0)
+        starts = jnp.asarray(
+            start[None] + 0.02 * rng.standard_normal((L, 7)).astype(np.float32)
+        )
+        goals = jnp.asarray(np.broadcast_to(goal, (L, 7)).copy())[:, None, :]
+        masks = jnp.ones((L, 1), bool)
+        envs = jax.tree.map(lambda x: jnp.broadcast_to(x, (L,) + x.shape), env)
+        samplers = halton_state_at(np.arange(L) * 49999, 7)
+        args = (starts, goals, masks, envs, samplers)
+        sharded = jax.jit(
+            make_sharded_batch_solver(solve, mesh, example_args=args, axes=("dp",))
+        )
+        res, best = sharded(*args)
+        n_solved = int(np.asarray(res.solved).sum())  # warm + correctness
+        t0 = time.perf_counter()
+        res, best = sharded(*args)
+        n_solved = int(np.asarray(res.solved).sum())
+        dt = time.perf_counter() - t0
+        results[ndev] = dict(
+            L=L, solved=n_solved, wall_s=dt, solves_per_s=n_solved / dt,
+            best_cost=float(np.asarray(best)[0]),
+        )
+        print(
+            f"n_devices={ndev}: L={L} solved {n_solved}/{L} in {dt*1e3:.0f}ms "
+            f"-> {n_solved/dt:.1f} solves/s",
+            flush=True,
+        )
+
+    base = results[min(results)]["solves_per_s"]
+    for ndev, r in results.items():
+        r["efficiency_vs_1dev"] = r["solves_per_s"] / (base * ndev / min(results))
+    out = {
+        "platform": jax.devices()[0].platform,
+        "note": "virtual CPU devices share one socket; efficiency there "
+                "measures sharding overhead, not ICI scaling",
+        "weak_scaling": results,
+    }
+    Path("benchmarks/scaling_results.json").write_text(json.dumps(out, indent=1))
+    print(json.dumps({k: round(v["efficiency_vs_1dev"], 3) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -243,12 +243,37 @@ def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
         dsq = dsq + (c - cl) ** 2
     inb = inb & (dsq <= rsq)
 
-    # affordance-buffer scan: fixed-size gather + mask-reduce
-    pts = capt.leaf_points[lane_of(z), z] if batched else capt.leaf_points[z]
-    dx = pts[..., 0] - xs[..., None]
-    dy = pts[..., 1] - ys[..., None]
-    dz = pts[..., 2] - zs[..., None]
-    hit = jnp.any(dx * dx + dy * dy + dz * dz <= rsq[..., None], axis=-1)
+    # affordance-buffer scan: fixed-size gathers + mask-reduce, chunked over
+    # the sphere axis and the affordance axis so the gathered temporaries
+    # stay bounded (dense clouds reach max_aff of several hundred; an
+    # unchunked gather of (S, *batch, max_aff, 3) can exceed HBM).
+    max_aff = capt.leaf_points.shape[-2]
+    S = xs.shape[0]
+    batch_elems = int(np.prod(xs.shape[1:])) if xs.ndim > 1 else 1
+    target = 16 * 1024 * 1024  # ~16M points (~192 MB with coords) per slice
+    if S * batch_elems * max_aff <= target:
+        S_C, A_C = S, max_aff
+    else:
+        S_C = max(min(S, target // max(batch_elems * max_aff, 1)), 1)
+        A_C = max(min(max_aff, target // max(batch_elems * S_C, 1)), 1)
+
+    hit = jnp.zeros(xs.shape, bool)
+    for s0 in range(0, S, S_C):
+        s1 = min(s0 + S_C, S)
+        zb = z[s0:s1]
+        lanes = lane_of(zb)
+        rsqb = jnp.broadcast_to(rsq, xs.shape)[s0:s1]
+        for a0 in range(0, max_aff, A_C):
+            a1 = min(a0 + A_C, max_aff)
+            if batched:
+                pts = capt.leaf_points[lanes, zb, a0:a1]
+            else:
+                pts = capt.leaf_points[zb, a0:a1]
+            dx = pts[..., 0] - xs[s0:s1, ..., None]
+            dy = pts[..., 1] - ys[s0:s1, ..., None]
+            dz = pts[..., 2] - zs[s0:s1, ..., None]
+            h = jnp.any(dx * dx + dy * dy + dz * dz <= rsqb[..., None], axis=-1)
+            hit = hit.at[s0:s1].set(hit[s0:s1] | h)
     hit = hit & inb
     return jnp.any(hit, axis=0)
 

@@ -41,46 +41,82 @@ def make_mesh(n_devices: Optional[int] = None, sp: int = 1) -> Mesh:
     return Mesh(arr, ("dp", "sp"))
 
 
-def make_sharded_batch_solver(solve_batch_fn, mesh: Mesh):
+def _lane_axis_specs(tree_shapes, lane: int, axes):
+    """PartitionSpec pytree sharding, per leaf, the first axis whose extent
+    equals `lane` (the per-shard lane count); leaves without one replicate.
+
+    Lane-axis inference is what lets one wrapper serve every batched result
+    type (RRTCResult, FCITResult, raw tuples, ...): each leaf's problem axis
+    is recognized by its size, wherever it sits (paths put lanes first,
+    batch-minor sampler states put them last)."""
+
+    def spec_of(shape):
+        for i, s in enumerate(shape.shape):
+            if s == lane:
+                return P(*((None,) * i + (axes,)))
+        return P()
+
+    return jax.tree.map(spec_of, tree_shapes)
+
+
+def make_sharded_batch_solver(solve_batch_fn, mesh: Mesh, example_args=None,
+                              axes=("dp", "sp")):
     """Shard a batch of problems over the mesh's problem axes (dp x sp).
 
     `solve_batch_fn(starts (l,dim), goals, goal_masks, envs, samplers) ->
-    RRTCResult` is the natively-batched solver (planners.rrtc.make_rrtc_batch);
-    each device runs its own problem shard in one lane-minor program. The
-    sampler pytree is batch-MINOR (HaltonState arrays (dim, L)), so its spec
-    shards the last axis.
+    result pytree` is any natively-batched solver
+    (planners.rrtc.make_rrtc_batch, planners.rrtc_turbo.make_rrtc_turbo_batch,
+    planners.fcit.make_fcit_batch, ...); each device runs its own problem
+    shard in one lane-minor program. Output shardings are inferred per leaf
+    from the per-shard lane count via jax.eval_shape on `example_args`
+    (shard-sized; defaults to tiny synthetic RRTC-shaped args are NOT
+    assumed — pass the real ones).
 
     Returns `solve_batch(starts, goals, goal_masks, envs, samplers) ->
     (results, best)` where `best` is the globally-best (cost, problem index)
     reduced with an all_gather — the "best-cost argmin + solution broadcast"
     collective of SURVEY §5.8, replicated on every device.
     """
-    both = ("dp", "sp")
-    sampler_specs = dict(b=P(None, both), n=P(None, both), d=P(None, both), iterations=P(both))
+    both = axes
+    ndev = int(np.prod([mesh.shape[a] for a in axes]))
 
-    from ..planners.rrtc import RRTCResult
-    from ..samplers.halton import HaltonState
+    if example_args is None:
+        raise ValueError(
+            "pass example_args (full-batch shapes) so output shardings can "
+            "be inferred"
+        )
 
-    sam_spec = HaltonState(**sampler_specs)
-    res_spec = RRTCResult(
-        path=P(both),
-        path_length=P(both),
-        cost=P(both),
-        iterations=P(both),
-        solved=P(both),
-        tree_sizes=P(both),
-        sampler=sam_spec,
+    # Build shard-sized abstract args and infer the output tree's lane axes.
+    lane_full = jax.tree.leaves(example_args[0])[0].shape[0]
+    assert lane_full % ndev == 0, f"L={lane_full} not divisible by {ndev} devices"
+    lane = lane_full // ndev
+
+    def shrink(x):
+        shape = list(x.shape)
+        for i, s in enumerate(shape):
+            if s == lane_full:
+                shape[i] = lane
+                break
+        return jax.ShapeDtypeStruct(tuple(shape), x.dtype)
+
+    abs_args = jax.tree.map(shrink, example_args)
+    out_shapes = jax.eval_shape(solve_batch_fn, *abs_args)
+    res_spec = _lane_axis_specs(out_shapes, lane, both)
+    in_spec = _lane_axis_specs(
+        jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), example_args),
+        lane_full,
+        both,
     )
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(both), P(both), P(both), P(both), sam_spec),
+        in_specs=in_spec,
         out_specs=(res_spec, P()),
         check_vma=False,
     )
-    def solve_batch(starts, goals, goal_masks, envs, samplers):
-        res = solve_batch_fn(starts, goals, goal_masks, envs, samplers)
+    def solve_batch(*args):
+        res = solve_batch_fn(*args)
         # global best-cost argmin over all shards (solved problems only)
         cost = jnp.where(res.solved, res.cost, jnp.float32(np.inf))
         all_costs = jax.lax.all_gather(cost, both).reshape(-1)
