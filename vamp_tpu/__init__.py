@@ -46,6 +46,7 @@ from .multi_robot import (
     RobotFactory,
 )
 from .robots.composite import bake_base, make_composite_spec
+from . import factory
 from .utils.settings import (
     AORRTCSettings,
     BSplineSettings,

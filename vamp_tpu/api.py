@@ -236,13 +236,18 @@ class PHSSampler:
         self._rng = np.random.default_rng(self._seed)
 
     def skip(self, n: int):
-        for _ in range(int(n)):
-            self.next()
+        """Advance the stream without producing samples. The host RNG is the
+        only state, so skipping is one bulk draw — not n dispatches
+        (reference benchmarking convention calls skip(50_000) per problem)."""
+        n = int(n)
+        if n:
+            self._rng.uniform(size=(n, self.spec.dimension + 1))
 
     def next(self) -> np.ndarray:
         dim = self.spec.dimension
-        u_dir = jnp.asarray(self._rng.uniform(size=(dim, 1)).astype(np.float32))
-        u_rad = jnp.asarray(self._rng.uniform(size=(1,)).astype(np.float32))
+        u = self._rng.uniform(size=(1, dim + 1)).astype(np.float32)
+        u_dir = jnp.asarray(u[0, :dim][:, None])
+        u_rad = jnp.asarray(u[0, dim:])
         q = np.asarray(self._draw(u_dir, u_rad, jnp.asarray([self.phs.transverse])))[:, 0]
         u = (q - self.spec.lower) / self.spec.range
         return np.clip(u, 0.0, 1.0)
