@@ -250,8 +250,12 @@ def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
     max_aff = capt.leaf_points.shape[-2]
     S = xs.shape[0]
     batch_elems = int(np.prod(xs.shape[1:])) if xs.ndim > 1 else 1
-    target = 16 * 1024 * 1024  # ~16M points (~192 MB with coords) per slice
-    if S * batch_elems * max_aff <= target:
+    # Slice budget balances two cliffs: per-slice memory (the gather
+    # materializes slice_elems * 3 coords) and program size (each slice
+    # unrolls; dozens of slices inside a planner loop explode compile time).
+    total = S * batch_elems * max_aff
+    target = max(16 * 1024 * 1024, -(-total // 12))  # <= ~12 slices
+    if total <= target:
         S_C, A_C = S, max_aff
     else:
         S_C = max(min(S, target // max(batch_elems * max_aff, 1)), 1)
