@@ -455,13 +455,34 @@ def _make_checker(spec: RobotSpec):
             return _self_hits_blocks(xs, ys, zs, radii, b)
         return _self_hits_bm(xs, ys, zs, radii, p)
 
+    # Sphere-axis chunking for the env sweep: XLA splits the full
+    # (S x shapes) elementwise tree into many fusions that each re-read the
+    # whole (S, *batch) sphere-position tensors from HBM; chunking bounds the
+    # re-read working set to SCHUNK spheres per fusion group. 0 disables.
+    import os as _os
+
+    _SCHUNK = int(_os.environ.get("VAMP_FKCC_SPHERE_CHUNK", "16"))
+
+    def _env_hits(xs, ys, zs, rcol, env, batched):
+        S = xs.shape[0]
+        if not _SCHUNK or S <= _SCHUNK:
+            return _env_hits_bm(xs, ys, zs, rcol, env, batched_env=batched)
+        hit = jnp.zeros(xs.shape[1:], bool)
+        for s0 in range(0, S, _SCHUNK):
+            s1 = min(s0 + _SCHUNK, S)
+            hit = hit | _env_hits_bm(
+                xs[s0:s1], ys[s0:s1], zs[s0:s1], rcol[s0:s1], env,
+                batched_env=batched,
+            )
+        return hit
+
     def check(q, env: PackedEnvironment, base_rot=None, base_pos=None):
         batched = env.sphere_xyzr.ndim == 3
         bshape = q.shape[1:]
         ones = (1,) * len(bshape)
         rcol = jnp.asarray(radii).reshape((-1,) + ones)
         xs, ys, zs = fk(q, base_rot, base_pos)
-        hit = _env_hits_bm(xs, ys, zs, rcol, env, batched_env=batched)
+        hit = _env_hits(xs, ys, zs, rcol, env, batched)
         hit = hit | _self(xs, ys, zs, env.has_attachments)
 
         if env.has_attachments:
