@@ -35,18 +35,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 DATA_DIR = Path(__file__).resolve().parent / "data"
 
 # (iteration budget, tree slots, max racing replicas, max lanes, repeats)
-# per wave. Slots ~ 1.3x budget (the shared-slot allocator consumes ~1 slot
-# per step; a step completes ~1 iteration). Step cost grows with slots x
+# per wave. Slots ~ 2.6x budget (the fixed-allocation solver consumes 2
+# slots per step; steps ~ 1.3x iterations). Step cost grows with slots x
 # lanes, so late waves shrink lanes hard and use *repeats*: re-running a
 # moderate budget with freshly rotated racing streams exploits the
 # heavy-tailed restart distribution instead of paying for one enormous tree
 # (whose NN sweeps grow quadratically in budget).
 DEFAULT_WAVES = (
-    (128, 192, 1, 1024, 1),
-    (512, 704, 3, 768, 1),
-    (1536, 2048, 8, 320, 1),
-    (1536, 2048, 24, 192, 4),
-    (6144, 8192, 48, 96, 1),
+    (128, 384, 1, 1024, 1),
+    (512, 1408, 3, 768, 1),
+    (1536, 4096, 8, 320, 1),
+    (1536, 4096, 24, 192, 4),
+    (6144, 16384, 48, 96, 1),
 )
 
 
@@ -194,10 +194,14 @@ def evaluate(
             K = max(1, min(L_max // P, K_max))
             L = min(L_max, -(-(P * K) // 64) * 64)
             lane_prob = np.full(L, -1, np.int64)
+            lane_group = np.full(L, -1, np.int64)
             for pos, i in enumerate(pending):
                 lane_prob[pos * K : (pos + 1) * K] = i
+                lane_group[pos * K : (pos + 1) * K] = pos
             idx = np.where(lane_prob >= 0, lane_prob, 0)
             lane_live = lane_prob >= 0
+            # padding lanes: singleton groups past the live ones
+            lane_group[~lane_live] = P + np.arange(int((~lane_live).sum()))
             replica = np.arange(L) % K + rotation
             if rep == 0 and rotation == 0:
                 replica = np.arange(L) % K  # replica 0 = canonical stream
@@ -218,6 +222,10 @@ def evaluate(
                 envs_w,
                 racing_samplers(dim, L, replica),
             )
+            if turbo:
+                # racing-replica groups: a problem's first winner stops its
+                # siblings (planners/rrtc_turbo.py solve_batch group_id)
+                args = args + (None, None, jnp.asarray(lane_group, jnp.int32))
             if timed:
                 # compile + warm; np.asarray forces a real device round trip
                 # (block_until_ready alone returns early on some backends)

@@ -393,42 +393,41 @@ class RobotModule:
         """Environment object names colliding with one sphere
         (sphere_environment_get_collisions, validity.hh:153-249)."""
         names: List[str] = []
-        if True:
-            for j, o in enumerate(env.spheres):
-                c = np.asarray(o.center, np.float32)
-                if np.sum((p - c) ** 2) < (r + o.radius) ** 2:
-                    names.append(o.name or f"sphere_{j}")
-            for j, o in enumerate(env.capsules):
-                x1 = np.asarray(o.x1, np.float32)
-                xv = np.asarray(o.xv, np.float32)
-                t = np.clip(np.dot(p - x1, xv) / max(float(np.dot(xv, xv)), 1e-12), 0.0, 1.0)
-                if np.sum((p - (x1 + t * xv)) ** 2) < (r + o.radius) ** 2:
-                    names.append(o.name or f"capsule_{j}")
-            for j, o in enumerate(env.cuboids):
-                d = p - np.asarray(o.center, np.float32)
-                proj = np.asarray(o.axes, np.float32) @ d
-                a = np.maximum(np.abs(proj) - np.asarray(o.half_extents, np.float32), 0.0)
-                if float(np.sum(a * a)) < r * r:
-                    names.append(o.name or f"cuboid_{j}")
-            for j, o in enumerate(env.heightfields):
-                yd, xd = o.data.shape
-                ix = int(np.clip(np.floor(o.scale[0] * (o.origin[0] - p[0]) + xd // 2), 0, xd - 1))
-                iy = int(np.clip(np.floor(o.scale[1] * (o.origin[1] - p[1]) + yd // 2), 0, yd - 1))
-                if p[2] - r < o.scale[2] * o.data[iy, ix] + o.origin[2]:
-                    names.append(o.name or f"heightfield_{j}")
-            for j, cloud in enumerate(env.clouds):
-                d2 = np.sum((cloud[:, :3] - p) ** 2, axis=1)
-                if bool(np.any(d2 < (cloud[:, 3] + r) ** 2)):
-                    names.append(f"cloud_{j}")
-            if env.pointclouds:
-                from .ops.capt import capt_collides
+        for j, o in enumerate(env.spheres):
+            c = np.asarray(o.center, np.float32)
+            if np.sum((p - c) ** 2) < (r + o.radius) ** 2:
+                names.append(o.name or f"sphere_{j}")
+        for j, o in enumerate(env.capsules):
+            x1 = np.asarray(o.x1, np.float32)
+            xv = np.asarray(o.xv, np.float32)
+            t = np.clip(np.dot(p - x1, xv) / max(float(np.dot(xv, xv)), 1e-12), 0.0, 1.0)
+            if np.sum((p - (x1 + t * xv)) ** 2) < (r + o.radius) ** 2:
+                names.append(o.name or f"capsule_{j}")
+        for j, o in enumerate(env.cuboids):
+            d = p - np.asarray(o.center, np.float32)
+            proj = np.asarray(o.axes, np.float32) @ d
+            a = np.maximum(np.abs(proj) - np.asarray(o.half_extents, np.float32), 0.0)
+            if float(np.sum(a * a)) < r * r:
+                names.append(o.name or f"cuboid_{j}")
+        for j, o in enumerate(env.heightfields):
+            yd, xd = o.data.shape
+            ix = int(np.clip(np.floor(o.scale[0] * (o.origin[0] - p[0]) + xd // 2), 0, xd - 1))
+            iy = int(np.clip(np.floor(o.scale[1] * (o.origin[1] - p[1]) + yd // 2), 0, yd - 1))
+            if p[2] - r < o.scale[2] * o.data[iy, ix] + o.origin[2]:
+                names.append(o.name or f"heightfield_{j}")
+        for j, cloud in enumerate(env.clouds):
+            d2 = np.sum((cloud[:, :3] - p) ** 2, axis=1)
+            if bool(np.any(d2 < (cloud[:, 3] + r) ** 2)):
+                names.append(f"cloud_{j}")
+        if env.pointclouds:
+            from .ops.capt import capt_collides
 
-                for j, capt in enumerate(env.pointclouds):
-                    hit = capt_collides(
-                        capt, jnp.asarray(p)[None, None], jnp.asarray([[r]], jnp.float32)
-                    )
-                    if bool(np.asarray(hit)[0]):
-                        names.append(f"pointcloud_{j}")
+            for j, capt in enumerate(env.pointclouds):
+                hit = capt_collides(
+                    capt, jnp.asarray(p)[None, None], jnp.asarray([[r]], jnp.float32)
+                )
+                if bool(np.asarray(hit)[0]):
+                    names.append(f"pointcloud_{j}")
         return names
 
     def filter_self_from_pointcloud(self, pc, configuration, env=None, point_radius=POINT_RADIUS):

@@ -20,8 +20,19 @@ changes, each motivated by measurement on TPU v5e (see benchmarks/):
    extend+connect iteration in the common case, instead of 2-4 steps.
 
 3. **Slot capacity ~ budget.** Tree buffers are sized to the wave's iteration
-   budget (slots are consumed per insertion step), so NN sweep cost tracks the
-   budget instead of a static worst case.
+   budget (two slots are consumed per step — fixed allocation keeps tree
+   updates to one contiguous write per buffer), so NN sweep cost tracks the
+   budget instead of a static worst case. Callers should size
+   `max_samples >= ~2.6x` the iteration budget (steps ~ 1.3x iterations).
+
+4. **Phase-latency-aware step.** On the axon TPU relay every *serialized*
+   dependency phase inside the loop body (NN gather -> dependent gather ->
+   conditional -> scattered update) costs ~100-190us of latency regardless of
+   its FLOPs (measured, benchmarks/nn_micro2.py). The body is therefore
+   organized to have exactly three phases: {NN sweeps (both trees,
+   data-independent)} -> {fused edge validation} -> {one contiguous tree
+   update per buffer}; the other-tree NN queries the sample rather than the
+   new node, and the dynamic-domain radius update is an unconditional mask.
 
 Consequences: paths are still validated edge-by-edge at the reference's
 resolution semantics (ops/validate.py check set), but tree growth no longer
@@ -126,11 +137,24 @@ def make_rrtc_turbo_batch(
         samplers: Optional[HaltonState] = None,
         base_rot: Optional[jnp.ndarray] = None,
         base_pos: Optional[jnp.ndarray] = None,
+        group_id: Optional[jnp.ndarray] = None,
     ) -> RRTCResult:
+        """`group_id` (L,) int32: racing-replica groups. Lanes sharing a group
+        id solve the same problem with different sample streams; the moment one
+        replica solves, its siblings stop stepping (their `solved` stays False
+        — only self-solved lanes report a path). Without it every replica runs
+        to its own budget even after the problem is won."""
         L, G = goals.shape[0], goals.shape[1]
         if samplers is None:
             samplers = halton_init_batch(dim, L)
         br, bp = base_rot, base_pos
+
+        def share(d):
+            # any() within each replica group, scattered back per lane
+            if group_id is None:
+                return d
+            seg = jnp.zeros((L,), bool).at[group_id].max(d)
+            return seg[group_id]
 
         # -- straight-line early exit (rrtc.hh:61-74) -----------------------
         line_vecs = goals - starts[:, None, :]
@@ -147,6 +171,9 @@ def make_rrtc_turbo_batch(
         line_valid = line_ok & goal_mask
         any_line = jnp.any(line_valid, axis=1)
         first_goal = jnp.argmax(line_valid, axis=1)
+        # Lanes with no live goal can never connect: done from the start
+        # (otherwise padding lanes run every wave to its full budget).
+        dead = ~jnp.any(goal_mask, axis=1)
 
         # -- tree buffers ---------------------------------------------------
         # Slot 0 = start, slots 1..G = goals. Tree membership + live mask are
@@ -185,7 +212,8 @@ def make_rrtc_turbo_batch(
             tree_a=jnp.full((L,), 1 if settings.start_tree_first else 0, jnp.int8),
             sampler=samplers,
             iter=jnp.zeros((L,), jnp.int32),
-            done=any_line,
+            done=share(any_line) | dead,
+            solved=any_line,
             mode=jnp.zeros((L,), jnp.int8),
             c_prior=jnp.zeros((dim, L), jnp.float32),
             c_prior_idx=jnp.zeros((L,), jnp.int32),
@@ -210,8 +238,13 @@ def make_rrtc_turbo_batch(
 
         def nearest(s2_sel, states, q_bm):
             """One-pass NN: sq = s2 - 2 s.q + |q|^2 (s2 carries BIG sentinels).
-            Returns (idx (L,), sqdist (L,))."""
-            dot = jnp.einsum("dnl,dl->nl", states, q_bm)
+            Returns (idx (L,), sqdist (L,)).
+
+            The dot is an elementwise multiply + reduce over the 7-long MAJOR
+            axis — NOT einsum/dot_general: a (N,7)x(7,1) batched matvec pads
+            K and N to the 128x128 MXU tile and costs ~1.2ms/step at L=128
+            (measured; 600x its useful flops)."""
+            dot = jnp.sum(states * q_bm[:, None, :], axis=0)
             q2 = jnp.sum(q_bm * q_bm, axis=0)
             sq = s2_sel - 2.0 * dot + q2[None, :]
             idx = jnp.argmin(sq, axis=0).astype(jnp.int32)
@@ -266,21 +299,32 @@ def make_rrtc_turbo_batch(
             if "nn" in _DISABLE:
                 near_idx = jnp.zeros((L,), jnp.int32)
                 near_sq = jnp.ones((L,))
+            elif "nnargmin" in _DISABLE:
+                # compute the argmin but feed a static index downstream (the
+                # *0 into the iter carry keeps it un-DCE-able)
+                s2_sel = jnp.where(in_a, s2a, s2b)
+                _i, near_sq = nearest(s2_sel, states, sample)
+                _nn_dep = _i * 0
+                near_idx = jnp.zeros((L,), jnp.int32)
             else:
                 s2_sel = jnp.where(in_a, s2a, s2b)
                 near_idx, near_sq = nearest(s2_sel, states, sample)
-            near_dist = jnp.sqrt(near_sq)
             if "gather" in _DISABLE:
                 near_cfg = sample * 0.9
                 near_rad = jnp.full((L,), INF)
             else:
                 near_cfg = fetch_cfg(states_lm, near_idx)
                 near_rad = jnp.take_along_axis(radii, near_idx[None, :], axis=0)[0]
+
+            vec = sample - near_cfg
+            # Distance from the actual vector, not the |s|^2-2s.q+|q|^2 NN
+            # estimate: catastrophic cancellation in the latter would size the
+            # edge-validation state count below the reference-resolution
+            # contract at ceil boundaries (the fast form only ranks argmin).
+            near_dist = jnp.linalg.norm(vec, axis=0)
             dd_reject = (
                 jnp.bool_(settings.dynamic_domain) & (near_rad < near_dist) & extend
             )
-
-            vec = sample - near_cfg
             reach = near_dist < rng_range
             ext_vec = jnp.where(
                 reach[None],
@@ -290,18 +334,25 @@ def make_rrtc_turbo_batch(
             ext_dist = jnp.where(reach, near_dist, rng_range)
             new_cfg = near_cfg + ext_vec
 
-            # -- NN in the other tree, from the speculative new node --------
-            if "nn" in _DISABLE:
+            # -- NN in the other tree ---------------------------------------
+            # Queried with the SAMPLE, not the speculative new node: the two
+            # NN sweeps are then data-independent and their (gather-heavy)
+            # phases overlap, instead of serializing NN1 -> new_cfg -> NN2.
+            # When the sample is within `range` of the near node the query is
+            # identical (new_cfg == sample); otherwise new_cfg lies on the
+            # near->sample segment and the chosen connect target is almost
+            # always the same node. Deviation from rrtc.hh:160-165 documented
+            # in the module docstring (turbo already trades stream parity).
+            if "nn" in _DISABLE or "nn2" in _DISABLE:
                 ob_idx = jnp.ones((L,), jnp.int32)
-                ob_sq = jnp.ones((L,))
             else:
                 s2_oth = jnp.where(in_a, s2b, s2a)
-                ob_idx, ob_sq = nearest(s2_oth, states, new_cfg)
-            ob_dist = jnp.sqrt(ob_sq)
+                ob_idx, _ = nearest(s2_oth, states, sample)
             if "gather" in _DISABLE:
                 ob_cfg = new_cfg + 0.1
             else:
                 ob_cfg = fetch_cfg(states_lm, ob_idx)
+            ob_dist = jnp.linalg.norm(ob_cfg - new_cfg, axis=0)
             n_segs = jnp.maximum(jnp.ceil(ob_dist / rng_range), 1.0)
 
             # Connect increments: fresh for extend lanes, carried for
@@ -366,63 +417,76 @@ def make_rrtc_turbo_batch(
                 grow, near_rad * (1.0 + settings.alpha), jnp.where(shrink, shrunk, near_rad)
             )
 
-            def _radii_update():
-                oh_near = iota_N == near_idx[None, :]
-                return jnp.where(oh_near & (grow | shrink)[None, :], r_new[None, :], radii)
-
+            # Unconditional masked update — a data-dependent lax.cond here
+            # costs a serialized host-sync phase on the axon relay, far more
+            # than the (N, L) elementwise where it saves.
             if "radii" not in _DISABLE:
-                radii = lax.cond(jnp.any(grow | shrink), _radii_update, lambda: radii)
+                oh_near = iota_N == near_idx[None, :]
+                radii = jnp.where(
+                    oh_near & (grow | shrink)[None, :], r_new[None, :], radii
+                )
 
             # -- insertions: slot0 = extend node, slot1 = connect waypoint --
+            # Fixed 2-slot allocation: ONE contiguous 2-row write per buffer
+            # per step (vacant rows carry BIG / self-parent sentinels), so
+            # every buffer sees a single update phase instead of two chained
+            # dynamic_update_slices. Trades ~1.5x slot head-room (slots are
+            # consumed per step, not per insertion) for serialized phase
+            # latency, which dominates step cost on the axon relay.
             ins0 = ext_ok
             node0 = new_cfg
             # farthest validated connect waypoint (colinear prefix merged)
             way_cfg = base + inc * m.astype(jnp.float32)[None]
             ins1 = gate & (m >= 1) & ~connected
             node0_id = slot
-            slot1 = slot + jnp.any(ins0).astype(jnp.int32)
-            node1_id = slot1
+            node1_id = slot + 1
             parent1 = jnp.where(is_ext, node0_id, c["c_prior_idx"])
-
-            def put_row(arr, row, at):
-                return lax.dynamic_update_slice(arr, row[None, :], (at, 0))
 
             in_a_l = tree_a == 0
             if "ins" not in _DISABLE:
-                states = lax.dynamic_update_slice(
-                    states, node0[:, None, :], (0, slot, 0)
-                )
+                rows = jnp.stack([node0, way_cfg], axis=1)  # (dim, 2, L)
+                states = lax.dynamic_update_slice(states, rows, (0, slot, 0))
                 states_lm = lax.dynamic_update_slice(
-                    states_lm, node0.T[:, None, :], (0, slot, 0)
+                    states_lm, jnp.transpose(rows, (2, 1, 0)), (0, slot, 0)
                 )
-                states = lax.dynamic_update_slice(
-                    states, way_cfg[:, None, :], (0, slot1, 0)
-                )
-                states_lm = lax.dynamic_update_slice(
-                    states_lm, way_cfg.T[:, None, :], (0, slot1, 0)
-                )
-
                 n0_sq = jnp.sum(node0 * node0, axis=0)
                 n1_sq = jnp.sum(way_cfg * way_cfg, axis=0)
-                s2a = put_row(s2a, jnp.where(ins0 & in_a_l, n0_sq, BIG), slot)
-                s2b = put_row(s2b, jnp.where(ins0 & ~in_a_l, n0_sq, BIG), slot)
-                s2a = put_row(s2a, jnp.where(ins1 & in_a_l, n1_sq, BIG), slot1)
-                s2b = put_row(s2b, jnp.where(ins1 & ~in_a_l, n1_sq, BIG), slot1)
+                s2a = lax.dynamic_update_slice(
+                    s2a,
+                    jnp.stack(
+                        [
+                            jnp.where(ins0 & in_a_l, n0_sq, BIG),
+                            jnp.where(ins1 & in_a_l, n1_sq, BIG),
+                        ]
+                    ),
+                    (slot, 0),
+                )
+                s2b = lax.dynamic_update_slice(
+                    s2b,
+                    jnp.stack(
+                        [
+                            jnp.where(ins0 & ~in_a_l, n0_sq, BIG),
+                            jnp.where(ins1 & ~in_a_l, n1_sq, BIG),
+                        ]
+                    ),
+                    (slot, 0),
+                )
                 # Inactive slots self-parent so a path walk can't escape them.
-                parents = put_row(
+                parents = lax.dynamic_update_slice(
                     parents,
-                    jnp.where(ins0, near_idx, jnp.broadcast_to(node0_id, (L,))),
-                    slot,
+                    jnp.stack(
+                        [
+                            jnp.where(ins0, near_idx, jnp.broadcast_to(node0_id, (L,))),
+                            jnp.where(ins1, parent1, jnp.broadcast_to(node1_id, (L,))),
+                        ]
+                    ),
+                    (slot, 0),
                 )
-                parents = put_row(
-                    parents,
-                    jnp.where(ins1, parent1, jnp.broadcast_to(node1_id, (L,))),
-                    slot1,
+                radii = lax.dynamic_update_slice(
+                    radii, jnp.full((2, L), INF), (slot, 0)
                 )
-                radii = put_row(radii, jnp.full((L,), INF), slot)
-                radii = put_row(radii, jnp.full((L,), INF), slot1)
 
-            slot_next = slot1 + jnp.any(ins1).astype(jnp.int32)
+            slot_next = slot + 2
             ta2 = jnp.stack([in_a_l, ~in_a_l]).astype(jnp.float32)
             sizes = sizes + ta2 * (
                 ins0.astype(jnp.float32) + ins1.astype(jnp.float32)
@@ -459,8 +523,10 @@ def make_rrtc_turbo_batch(
                 sizes=sizes,
                 tree_a=tree_a,
                 sampler=sampler,
-                iter=c["iter"] + extend.astype(jnp.int32),
-                done=c["done"] | connected,
+                iter=c["iter"] + extend.astype(jnp.int32)
+                + (_nn_dep if "nnargmin" in _DISABLE else 0),
+                done=c["done"] | share(connected),
+                solved=c["solved"] | connected,
                 mode=mode,
                 c_prior=c_prior,
                 c_prior_idx=c_prior_idx,
@@ -523,7 +589,7 @@ def make_rrtc_turbo_batch(
         seg_mask = jnp.arange(1, max_path)[None, :] < total[:, None]
         cost = jnp.sum(jnp.where(seg_mask, deltas, 0.0), axis=1)
 
-        solved = out["done"]
+        solved = out["solved"]
         return RRTCResult(
             path=path,
             path_length=jnp.where(solved, total, 0).astype(jnp.int32),
