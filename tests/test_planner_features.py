@@ -202,3 +202,41 @@ def test_halton_state_at_matches_stream():
             r = halton_state_at(i, 7)
             np.testing.assert_array_equal(np.asarray(s.n), np.asarray(r.n))
             np.testing.assert_array_equal(np.asarray(s.d), np.asarray(r.d))
+
+
+def test_aorrtc_multi_goal_uses_second_goal(spec, cage):
+    """Reference parity (aorrtc.hh:478,494-499,528-535): a goal vector seeds
+    the initial RRTC with every goal and AOX uses plain sampling when G > 1.
+    Goal 0 sits inside a cage sphere (unreachable); the solution must end at
+    goal 1."""
+    module = vamp.robot_module("panda")
+    bad_goal = np.asarray(START, np.float32).copy()
+    bad_goal[1] += 0.12  # near start but...
+    # construct an actually-invalid goal: inside an obstacle region
+    # (validate() false) by bending the arm into the 0.2-radius cage sphere
+    env = cage
+    fkcc = jax.jit(
+        __import__("vamp_tpu.ops.fkcc_bm", fromlist=["make_fkcc"]).make_fkcc(spec)
+    )
+    packed = env.pack()
+    # scan a few candidates for one that is invalid in the cage
+    rng = np.random.RandomState(0)
+    cand = None
+    for _ in range(200):
+        c = np.asarray(START, np.float32) + rng.uniform(-1.2, 1.2, 7).astype(np.float32)
+        c = np.clip(c, np.asarray(spec.lower) + 1e-3, np.asarray(spec.upper) - 1e-3)
+        if not bool(np.asarray(fkcc(jnp.asarray(c)[None], packed))[0]):
+            cand = c
+            break
+    assert cand is not None
+    goals = np.stack([cand, np.asarray(GOAL, np.float32)])  # goal 0 invalid
+
+    from vamp_tpu.utils.settings import AORRTCSettings
+
+    settings = AORRTCSettings(
+        max_iterations=3000, max_samples=6000, rrtc=RRTCSettings(range=1.0)
+    )
+    res = module.aorrtc(np.asarray(START, np.float32), goals, env, settings)
+    assert res.solved
+    np.testing.assert_allclose(res.path[-1], GOAL, atol=1e-4)
+    np.testing.assert_allclose(res.path[0], START, atol=1e-4)

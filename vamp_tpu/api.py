@@ -520,19 +520,23 @@ class RobotModule:
         from .planners.aorrtc import make_aorrtc_batch
 
         packed = _packed(env)
-        goal_np = np.asarray(goal, np.float32)
-        if goal_np.ndim > 1:
-            goal_np = goal_np[0]  # PHS path is single-goal (reference parity)
-        key = ("aorrtc", self.name, id(self.spec), settings, _env_key(packed))
+        goals_np = np.asarray(goal, np.float32)
+        if goals_np.ndim == 1:
+            goals_np = goals_np[None]  # (G, dim)
+        G = len(goals_np)
+        key = ("aorrtc", self.name, id(self.spec), settings, G, _env_key(packed))
         fn = _JIT_CACHE.get(key)
         if fn is None:
             fn = make_aorrtc_batch(self.spec, settings)
             _JIT_CACHE[key] = fn
         t0 = time.perf_counter_ns()
         sam = _as_batch_sampler(sampler, self.spec.dimension)
+        # Multi-goal end-to-end: initial RRTC seeded with all goals, AOX
+        # rounds use plain sampling when G > 1 (reference aorrtc.hh:478,
+        # 494-499, 528-535). Previously goals beyond the first were dropped.
         paths, lens, costs, solved, iters = fn(
             jnp.asarray(np.asarray(start, np.float32))[None],
-            jnp.asarray(goal_np)[None],
+            jnp.asarray(goals_np)[None],
             packed,
             sam,
         )

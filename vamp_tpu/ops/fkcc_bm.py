@@ -148,8 +148,19 @@ def _axis_rot(axis, c, s) -> Rot:
     )
 
 
-def _chain_bm(spec: RobotSpec, q_rows: List, base_rot: Optional[Rot], base_pos):
-    """Per-frame (Rot, [tx,ty,tz]) with all entries scalars or (B,) arrays."""
+def _chain_bm(
+    spec: RobotSpec, q_rows: List, base_rot: Optional[Rot], base_pos,
+    native_trig: bool = False,
+):
+    """Per-frame (Rot, [tx,ty,tz]) with all entries scalars or (B,) arrays.
+
+    `native_trig` swaps the reference's 16-op polynomial sin/cos
+    (interface.hh:442-469, kept for bit parity on the default path) for
+    jnp.sin/jnp.cos — one XLA op each and MORE accurate. On the target
+    device op count, not transcendental cost, is what's priced, so the
+    throughput solver uses native trig (documented deviation)."""
+    sin_f = jnp.sin if native_trig else fast_sin
+    cos_f = jnp.cos if native_trig else fast_cos
     Rs: List[Rot] = []
     ts: List[list] = []
     for op in spec.ops:
@@ -163,7 +174,7 @@ def _chain_bm(spec: RobotSpec, q_rows: List, base_rot: Optional[Rot], base_pos):
         t = [_add(tp[i], off[i]) for i in range(3)]
         if op.jtype == REVOLUTE:
             qi = q_rows[op.qi]
-            R = R @ _axis_rot(op.axis, fast_cos(qi), fast_sin(qi))
+            R = R @ _axis_rot(op.axis, cos_f(qi), sin_f(qi))
         elif op.jtype == PRISMATIC:
             qi = q_rows[op.qi]
             d = R.apply([float(a) for a in op.axis])
@@ -173,57 +184,90 @@ def _chain_bm(spec: RobotSpec, q_rows: List, base_rot: Optional[Rot], base_pos):
     return Rs, ts
 
 
-def make_sphere_fk_bm(spec: RobotSpec):
+def make_sphere_fk_bm(spec: RobotSpec, native_trig: bool = False):
     """`fk(q (dim, B), base_rot?, base_pos?) -> (xs, ys, zs) each (S, B)`.
 
     base_rot: optional (3,3); base_pos: optional (3,). Both may be traced.
+
+    Sphere transforms are batched PER FRAME: a frame's S_f constant centers
+    apply to its (traced) rotation entries as (S_f, 1, ..) numpy constants
+    broadcast against the batch — 18 array ops per FRAME instead of 18 per
+    sphere. On the target device every op materializes (no fusion), so the
+    per-sphere formulation's ~1060 (batch,)-sized ops were ~75% of the whole
+    fkcc cost (measured; see benchmarks/loop_micro.py round 3).
     """
     S = spec.n_spheres
+    # frame -> sphere indices, in first-appearance order
+    by_frame: Dict[int, List[int]] = {}
+    for i, f in enumerate(spec.sphere_frame.tolist()):
+        by_frame.setdefault(int(f), []).append(i)
+    order = [i for idxs in by_frame.values() for i in idxs]
+    perm = np.argsort(np.asarray(order))  # concat row -> spec sphere order
+    identity_order = bool(np.all(np.asarray(order) == np.arange(S)))
 
     def fk(q, base_rot=None, base_pos=None):
         """q: (dim, ...batch) — any trailing batch shape; elementwise over it."""
         bshape = q.shape[1:]
+        ones = (1,) * len(bshape)
         q_rows = [q[i] for i in range(q.shape[0])]
         br = None if base_rot is None else Rot([[base_rot[i, j] for j in range(3)] for i in range(3)])
         bp = [0.0, 0.0, 0.0] if base_pos is None else [base_pos[0], base_pos[1], base_pos[2]]
-        Rs, ts = _chain_bm(spec, q_rows, br, bp)
+        Rs, ts = _chain_bm(spec, q_rows, br, bp, native_trig)
 
-        zeros = jnp.zeros(bshape, q.dtype)
-
-        def as_arr(v):
-            if isinstance(v, float):
-                return jnp.full(bshape, v, q.dtype) if v != 0.0 else zeros
-            return jnp.broadcast_to(v, bshape)
+        def as_plane(v, S_f):
+            # -> (S_f, *bshape) array from scalar/np-const/traced expr
+            if isinstance(v, (float, int)):
+                return jnp.full((S_f,) + bshape, float(v), q.dtype)
+            if isinstance(v, np.ndarray):
+                return jnp.broadcast_to(
+                    jnp.asarray(v.astype(np.float32)), (S_f,) + bshape
+                )
+            return jnp.broadcast_to(v, (S_f,) + bshape)
 
         xs, ys, zs = [], [], []
-        for si in range(S):
-            f = int(spec.sphere_frame[si])
-            c = [float(v) for v in spec.sphere_center[si]]
+        for f, idxs in by_frame.items():
+            S_f = len(idxs)
+            centers = spec.sphere_center[idxs]  # (S_f, 3) numpy
+            cs = [centers[:, k].reshape((S_f,) + ones) for k in range(3)]
             if f < 0:
-                if br is None:
-                    w = [ _add(c[i], bp[i]) for i in range(3)]
-                else:
-                    rc = br.apply(c)
-                    w = [_add(rc[i], bp[i]) for i in range(3)]
+                R, t = br, bp
             else:
-                rc = Rs[f].apply(c)
-                w = [_add(rc[i], ts[f][i]) for i in range(3)]
-            xs.append(as_arr(w[0]))
-            ys.append(as_arr(w[1]))
-            zs.append(as_arr(w[2]))
-        return jnp.stack(xs), jnp.stack(ys), jnp.stack(zs)
+                R, t = Rs[f], ts[f]
+            if R is None:
+                w = [_add(cs[i], t[i]) for i in range(3)]
+            else:
+                w = [
+                    _add(
+                        _add(
+                            _add(_mul(R.m[i][0], cs[0]), _mul(R.m[i][1], cs[1])),
+                            _mul(R.m[i][2], cs[2]),
+                        ),
+                        t[i],
+                    )
+                    for i in range(3)
+                ]
+            xs.append(as_plane(w[0], S_f))
+            ys.append(as_plane(w[1], S_f))
+            zs.append(as_plane(w[2], S_f))
+        xs = jnp.concatenate(xs)
+        ys = jnp.concatenate(ys)
+        zs = jnp.concatenate(zs)
+        if not identity_order:
+            p = jnp.asarray(perm)
+            xs, ys, zs = xs[p], ys[p], zs[p]
+        return xs, ys, zs
 
     return fk
 
 
-def make_ee_bm(spec: RobotSpec):
+def make_ee_bm(spec: RobotSpec, native_trig: bool = False):
     """`ee(q (dim, B), ...) -> (R rows 3x3 of (B,), t 3 of (B,))`."""
 
     def ee(q, base_rot=None, base_pos=None):
         q_rows = [q[i] for i in range(q.shape[0])]
         br = None if base_rot is None else Rot([[base_rot[i, j] for j in range(3)] for i in range(3)])
         bp = [0.0, 0.0, 0.0] if base_pos is None else [base_pos[0], base_pos[1], base_pos[2]]
-        Rs, ts = _chain_bm(spec, q_rows, br, bp)
+        Rs, ts = _chain_bm(spec, q_rows, br, bp, native_trig)
         return Rs[spec.ee_frame], ts[spec.ee_frame]
 
     return ee
@@ -429,12 +473,12 @@ def _self_hits_bm(xs, ys, zs, radii, pairs: np.ndarray):
     return jnp.any(dx * dx + dy * dy + dz * dz - rs * rs < 0, axis=0)
 
 
-def _make_checker(spec: RobotSpec):
+def _make_checker(spec: RobotSpec, native_trig: bool = False):
     """Shared core: `check(q (dim, *batch), env, base_rot, base_pos) -> valid
     (*batch,)`, supporting single (scalar-param) and lane-batched envs (every
     env leaf with a leading L axis; then the MINOR batch axis of q is L)."""
-    fk = make_sphere_fk_bm(spec)
-    ee = make_ee_bm(spec)
+    fk = make_sphere_fk_bm(spec, native_trig)
+    ee = make_ee_bm(spec, native_trig)
     radii = spec.sphere_radius
     radii_col = jnp.asarray(radii).reshape(-1, 1, 1)
     pairs = spec.self_pairs
@@ -476,14 +520,22 @@ def _make_checker(spec: RobotSpec):
             )
         return hit
 
+    _FKCC_DISABLE = set(
+        filter(None, _os.environ.get("VAMP_FKCC_DISABLE", "").split(","))
+    )
+
     def check(q, env: PackedEnvironment, base_rot=None, base_pos=None):
         batched = env.sphere_xyzr.ndim == 3
         bshape = q.shape[1:]
         ones = (1,) * len(bshape)
         rcol = jnp.asarray(radii).reshape((-1,) + ones)
         xs, ys, zs = fk(q, base_rot, base_pos)
-        hit = _env_hits(xs, ys, zs, rcol, env, batched)
-        hit = hit | _self(xs, ys, zs, env.has_attachments)
+        if "env" in _FKCC_DISABLE:  # profiling stub (benchmarks/step_profile)
+            hit = jnp.any(xs + ys + zs < -1e30, axis=0)
+        else:
+            hit = _env_hits(xs, ys, zs, rcol, env, batched)
+        if "self" not in _FKCC_DISABLE:
+            hit = hit | _self(xs, ys, zs, env.has_attachments)
 
         if env.has_attachments:
             R, t = ee(q, base_rot, base_pos)
@@ -555,12 +607,12 @@ def make_fkcc_bm(spec: RobotSpec):
     return fkcc_bm
 
 
-def make_fkcc_planner(spec: RobotSpec):
+def make_fkcc_planner(spec: RobotSpec, native_trig: bool = False):
     """Planner-facing checker: `fkcc(q (dim, T, L), envs, base_rot?, base_pos?)
     -> valid (T, L)` where envs may be a single env (scalar params) or a
     lane-batched env pytree (leading L on every leaf). The caller owns the
     layout: L minor (lanes), T in sublanes — no internal retiling."""
-    return _make_checker(spec)
+    return _make_checker(spec, native_trig)
 
 
 def make_fkcc(spec: RobotSpec):

@@ -1,29 +1,39 @@
-"""Hierarchical FK+CC: coarse bounding-sphere gate + compacted fine pass.
+"""Hierarchical FK+CC: coarse bounding-sphere gate + compacted fine passes.
 
 The reference's generated kernels check a per-link *bounding* sphere first and
 only evaluate that link's fine spheres on a hit (reference:
-src/impl/vamp/robots/panda/fk.hh:1336-1404 — the 2-level sphere hierarchy that
-its branchy early-exit exploits). A dense vector machine can't branch per
-state, but it can gate per STATE: the fkcc workload is VPU-FLOP-bound
-(measured ~2.7 Tflop/s elementwise on TPU v5e), and most interpolated states
-along candidate edges are nowhere near an obstacle, so:
+src/impl/vamp/robots/panda/fk.hh:1336-1404 — the 2-level sphere hierarchy its
+branchy early-exit exploits). Measured on the Panda MBM state mix, ~71% of
+validated states flag ZERO coarse spheres and the mean is 0.89 flagged of 12
+(benchmarks/hier_stats.py) — the fine pass is mostly skippable work that a
+dense kernel cannot skip.
 
-phase 1 (dense, cheap): evaluate only the ~10 per-link bounding spheres
-  against the environment, plus bounding-pair self-collision — a conservative
-  "possibly colliding" flag per state at ~1/5 the fine FLOPs.
+TPU re-design (no branches, static shapes):
 
-phase 2 (compacted, exact): gather the flagged states (bounded capacity),
-  run the full fine checker (ops/fkcc_bm._make_checker — env + self, exact
-  semantics) on the compact batch, and scatter verdicts back.
+phase 1 (dense, ~1/4 the fine FLOPs): coarse FK of C~12 bounding spheres,
+  per-coarse-sphere env hit flags + coarse self-pair flags.
 
-States that overflow the compaction capacity are conservatively reported as
-colliding: planners then reject that candidate edge — sound (no invalid path
-can be accepted), at worst a lost extension. Capacity defaults to 1/4 of the
-batch; overflow means >25% of ALL states in the batch were near obstacles.
+phase 2 (compacted, exact): coarse spheres are statically partitioned into a
+  few chain-contiguous GROUPS (base / mid / distal for a 7-DoF arm). For each
+  group, states flagged by any of its coarse spheres are compacted PER LANE
+  along the state axis (argsort of flags — no scatter), the group's fine
+  spheres are FK'd and checked on the compacted states, and hits are
+  OR-reduced straight into per-BLOCK verdicts (a block = one planner edge's
+  interpolated states), so nothing is scattered back. Compacting along the
+  state axis only keeps the environment lane-aligned: no env gathers.
+  Self-collision gets the same treatment with the full fine pair table.
 
-Not supported (falls back to the dense fine checker): heightfields, CAPT
-pointclouds, attachments, per-lane base poses. The planner-facing factory
-checks these per call.
+Soundness: a coarse sphere encloses its fine spheres including their radii
+(build_coarse_model), and every supported narrow-phase test is metric, so
+coarse-miss => fine-miss; a small margin on the coarse radii absorbs f32
+rounding. States that overflow a group's compaction capacity are reported as
+colliding — conservative: the planner rejects that edge (a lost extension,
+never an invalid path). Capacity defaults to half the states per call;
+overflow means >50% of a lane's states were near obstacles.
+
+Not supported (falls back to the dense fine checker, decided statically from
+the env pytree): heightfields (their test is not metric in the sphere
+center), CAPT pointclouds, attachments, per-lane base poses.
 """
 
 from __future__ import annotations
@@ -36,7 +46,14 @@ import jax
 import jax.numpy as jnp
 
 from ..robots.spec import RobotSpec
-from .fkcc_bm import _env_hits_bm, _make_checker, make_sphere_fk_bm
+from .fkcc_bm import (
+    _env_hits_bm,
+    _make_checker,
+    _pair_blocks,
+    _self_hits_blocks,
+    _self_hits_bm,
+    make_sphere_fk_bm,
+)
 
 
 def _split_cluster(centers: np.ndarray, radii: np.ndarray, idx: np.ndarray,
@@ -95,84 +112,168 @@ def _coarse_self_pairs(spec: RobotSpec, cover: np.ndarray) -> List[Tuple[int, in
         owner[cover[c]] = c
     pairs = set()
     for i, k in spec.self_pairs:
-        pairs.add((int(owner[i]), int(owner[k])))
-    if spec.self_pairs_attach is not None:
-        for i, k in spec.self_pairs_attach:
-            pairs.add((int(owner[i]), int(owner[k])))
+        a, b = int(owner[i]), int(owner[k])
+        if a != b:
+            pairs.add((a, b))
     return sorted(pairs)
 
 
-def make_fkcc_hier(spec: RobotSpec, capacity_frac: float = 0.25):
-    """Planner-facing hierarchical checker with the same contract as
-    ops.fkcc_bm.make_fkcc_planner: `check(q (dim, T, L), envs, base_rot,
-    base_pos) -> valid (T, L)`. Batch must be exactly 2-D (T, L).
+def partition_groups(frames: np.ndarray, cover: np.ndarray, n_groups: int = 3):
+    """Split coarse spheres into chain-contiguous groups with ~balanced fine
+    sphere counts (base/mid/distal for an arm). Returns a list of coarse
+    index arrays."""
+    order = np.argsort(frames, kind="stable")
+    counts = cover[order].sum(axis=1)
+    total = counts.sum()
+    bounds = [total * (k + 1) / n_groups for k in range(n_groups - 1)]
+    groups, cur, acc, bi = [], [], 0, 0
+    for pos, c in enumerate(order):
+        cur.append(int(c))
+        acc += counts[pos]
+        if bi < len(bounds) and acc >= bounds[bi] and pos < len(order) - 1:
+            groups.append(np.asarray(cur, np.int64))
+            cur, bi = [], bi + 1
+    if cur:
+        groups.append(np.asarray(cur, np.int64))
+    return groups
 
-    Falls back to the dense fine checker for env features the compact path
-    does not cover (heightfields, CAPT, attachments).
+
+def _sub_spec(spec: RobotSpec, fine_idx: np.ndarray) -> RobotSpec:
+    return dataclasses.replace(
+        spec,
+        sphere_frame=spec.sphere_frame[fine_idx],
+        sphere_center=spec.sphere_center[fine_idx],
+        sphere_radius=spec.sphere_radius[fine_idx],
+        sphere_link_names=tuple(spec.sphere_link_names[i] for i in fine_idx),
+        self_pairs=np.zeros((0, 2), np.int32),
+        self_pairs_attach=None,
+    )
+
+
+def make_fkcc_hier_blocks(
+    spec: RobotSpec,
+    n_blocks: int,
+    spb: int,
+    capacity_frac: float = 0.5,
+    n_groups: int = 3,
+    margin: float = 1e-4,
+):
+    """Block-verdict hierarchical checker for the planner's edge-validation
+    workload: `check(q (dim, n_blocks*spb, L), env, base_rot?, base_pos?) ->
+    valid (n_blocks, L)` where block b covers states [b*spb, (b+1)*spb) (one
+    edge's interpolated states; the planner needs only all-valid per block).
+
+    Exact (boolean-identical to the dense checker's block reduction) except
+    for compaction overflow, which conservatively invalidates the block.
     """
     frames, centers, radii_c, cover = build_coarse_model(spec)
+    C = len(radii_c)
     cspec = dataclasses.replace(
         spec,
         sphere_frame=frames,
         sphere_center=centers,
         sphere_radius=radii_c,
         sphere_link_names=tuple(f"coarse{int(f)}" for f in frames),
+        self_pairs=np.zeros((0, 2), np.int32),
+        self_pairs_attach=None,
     )
     fk_coarse = make_sphere_fk_bm(cspec)
     self_pairs_c = _coarse_self_pairs(spec, cover)
     check_fine = _make_checker(spec)
-    C = len(radii_c)
+    fk_full = make_sphere_fk_bm(spec)
+    radii = spec.sphere_radius
+    self_blocks = _pair_blocks(spec, spec.self_pairs) if spec.self_pairs.size else []
 
-    def check(q, env, base_rot=None, base_pos=None):
+    groups = partition_groups(frames, cover, n_groups)
+    group_fine = []
+    for g in groups:
+        fine_idx = np.nonzero(cover[g].any(axis=0))[0]
+        sub = _sub_spec(spec, fine_idx)
+        group_fine.append((g, make_sphere_fk_bm(sub), sub.sphere_radius))
+
+    T = n_blocks * spb
+    Kc = min(max(int(np.ceil(capacity_frac * T / 8.0)) * 8, 8), T)
+    rc_m = radii_c + margin
+    has_self = bool(spec.self_pairs.size)
+
+    def check_blocks(q, env, base_rot=None, base_pos=None):
         batched = env.sphere_xyzr.ndim == 3
         if (
             env.hf_mask.shape[-1]
             or env.capts
             or env.has_attachments
-            or (base_rot is not None and getattr(base_rot, "ndim", 2) != 2)
+            or base_rot is not None
+            or base_pos is not None
         ):
-            return check_fine(q, env, base_rot, base_pos)
+            ok = check_fine(q, env, base_rot, base_pos)  # (T, L)
+            return jnp.all(ok.reshape(n_blocks, spb, -1), axis=1)
 
-        T, L = q.shape[1], q.shape[2]
-        TL = T * L
-        Kc = max(int(np.ceil(capacity_frac * TL / 256.0)) * 256, 256)
+        L = q.shape[2]
+        t_iota = jnp.arange(T, dtype=jnp.int32)[:, None]  # (T, 1)
+        k_iota = jnp.arange(Kc, dtype=jnp.int32)[:, None]  # (Kc, 1)
 
-        # -- phase 1: coarse possible-collision flag ------------------------
-        xs, ys, zs = fk_coarse(q, base_rot, base_pos)  # (C, T, L)
-        rcol = jnp.asarray(radii_c).reshape((C, 1, 1))
-        poss = _env_hits_bm(xs, ys, zs, rcol, env, batched_env=batched)
+        # -- phase 1: coarse flags -----------------------------------------
+        xs, ys, zs = fk_coarse(q, None, None)  # (C, T, L)
+        rcol = jnp.asarray(rc_m).reshape((C, 1, 1))
+        per_c = []
+        for c in range(C):
+            per_c.append(
+                _env_hits_bm(
+                    xs[c : c + 1], ys[c : c + 1], zs[c : c + 1],
+                    rcol[c : c + 1], env, batched_env=batched,
+                )
+            )
+        sflag = jnp.zeros((T, L), bool)
         for (a, b) in self_pairs_c:
             dx = xs[a] - xs[b]
             dy = ys[a] - ys[b]
             dz = zs[a] - zs[b]
-            rs = float(radii_c[a] + radii_c[b])
-            poss = poss | (dx * dx + dy * dy + dz * dz < rs * rs)
+            rs = float(rc_m[a] + rc_m[b])
+            sflag = sflag | (dx * dx + dy * dy + dz * dz < rs * rs)
 
-        # -- phase 2: compact flagged states, run the exact fine checker ----
-        flat = poss.reshape(-1)  # state-major, lane-minor (t*L + l)
-        pos = jnp.cumsum(flat) - 1  # flagged rank
-        n_flag = jnp.sum(flat)
-        write = jnp.where(flat & (pos < Kc), pos, Kc)
-        sel = (
-            jnp.zeros((Kc + 1,), jnp.int32)
-            .at[write]
-            .set(jnp.arange(TL, dtype=jnp.int32), mode="drop")[:Kc]
-        )
-        q_sel = q.reshape(q.shape[0], TL)[:, sel]  # (dim, Kc)
-        if batched:
-            lane_sel = sel % L
-            env_sel = jax.tree.map(lambda x: x[lane_sel], env)
-        else:
-            env_sel = env
-        fine_valid = check_fine(q_sel[:, None, :], env_sel, base_rot, base_pos)[0]
-        live = jnp.arange(Kc) < n_flag
-        fine_hit = (~fine_valid) & live
+        bhit = jnp.zeros((n_blocks, L), bool)
 
-        hit_flat = (
-            jnp.zeros((TL,), bool).at[sel].max(fine_hit, mode="drop")
-        )
-        # overflowed flagged states: conservatively colliding
-        hit_flat = hit_flat | (flat & (pos >= Kc))
-        return ~hit_flat.reshape(T, L)
+        def compact_run(flag, fine_hits_fn):
+            """flag (T, L) -> OR of exact fine hits into (n_blocks, L)."""
+            # per-lane stable compaction along T via argsort (no scatter):
+            # flagged states keep chronological order in the first cnt rows
+            key = jnp.where(flag, t_iota, T + t_iota)  # (T, L)
+            sel = jnp.argsort(key, axis=0)[:Kc].astype(jnp.int32)  # (Kc, L)
+            cnt = jnp.sum(flag, axis=0)  # (L,)
+            q_sel = jnp.take_along_axis(q, sel[None], axis=1)  # (dim, Kc, L)
+            hits = fine_hits_fn(q_sel)  # (Kc, L)
+            live = k_iota < cnt[None, :]
+            hits = hits & live
+            sel_block = sel // spb  # (Kc, L)
+            bh = jnp.stack(
+                [jnp.any(hits & (sel_block == b), axis=0) for b in range(n_blocks)]
+            )
+            # overflowed flagged states: conservatively invalid
+            over = flag & (jnp.cumsum(flag.astype(jnp.int32), axis=0) > Kc)
+            return bh | jnp.any(over.reshape(n_blocks, spb, L), axis=1)
 
-    return check
+        for (g, fk_g, rad_g) in group_fine:
+            gflag = per_c[g[0]]  # (T, L)
+            for c in g[1:]:
+                gflag = gflag | per_c[c]
+
+            def env_hits_g(q_sel, fk_g=fk_g, rad_g=rad_g):
+                gx, gy, gz = fk_g(q_sel, None, None)  # (Sg, Kc, L)
+                rc = jnp.asarray(rad_g).reshape((-1, 1, 1))
+                return _env_hits_bm(gx, gy, gz, rc, env, batched_env=batched)
+
+            bhit = bhit | compact_run(gflag, env_hits_g)
+
+        if has_self and self_pairs_c:
+
+            def self_hits(q_sel):
+                fx, fy, fz = fk_full(q_sel, None, None)  # (S, Kc, L)
+                if self_blocks is not None:
+                    return _self_hits_blocks(fx, fy, fz, radii, self_blocks)
+                return _self_hits_bm(fx, fy, fz, radii, spec.self_pairs)
+
+            bhit = bhit | compact_run(sflag, self_hits)
+
+        return ~bhit
+
+    return check_blocks

@@ -42,26 +42,47 @@ def make_mesh(n_devices: Optional[int] = None, sp: int = 1) -> Mesh:
 
 
 def _lane_axis_specs(tree_shapes, lane: int, axes):
-    """PartitionSpec pytree sharding, per leaf, the first axis whose extent
-    equals `lane` (the per-shard lane count); leaves without one replicate.
+    """PartitionSpec pytree sharding, per leaf, the axis whose extent equals
+    `lane` (the per-shard lane count); leaves without one replicate.
 
     Lane-axis inference is what lets one wrapper serve every batched result
     type (RRTCResult, FCITResult, raw tuples, ...): each leaf's problem axis
     is recognized by its size, wherever it sits (paths put lanes first,
-    batch-minor sampler states put them last)."""
+    batch-minor sampler states put them last).
 
-    def spec_of(shape):
-        for i, s in enumerate(shape.shape):
-            if s == lane:
-                return P(*((None,) * i + (axes,)))
+    A leaf with MORE than one axis of extent `lane` is ambiguous — sharding
+    the wrong one silently drops data (e.g. splitting an env's obstacle axis
+    makes each shard check a fraction of the obstacles and report invalid
+    paths as solved) — so ambiguity raises; pass an explicit spec for that
+    argument via `arg_specs` instead. A leaf whose single matching axis is
+    coincidentally NOT the lane axis cannot be detected here — callers with
+    unbatched env pytrees (or any leaf whose non-lane axis can equal the lane
+    count) must pass explicit `arg_specs`."""
+
+    def spec_of(path, shape):
+        hits = [i for i, s in enumerate(shape.shape) if s == lane]
+        if len(hits) > 1:
+            raise ValueError(
+                f"ambiguous lane axis for leaf {jax.tree_util.keystr(path)} "
+                f"shape {shape.shape}: axes {hits} all have extent {lane}; "
+                "pass an explicit PartitionSpec via arg_specs"
+            )
+        if hits:
+            return P(*((None,) * hits[0] + (axes,)))
         return P()
 
-    return jax.tree.map(spec_of, tree_shapes)
+    return jax.tree_util.tree_map_with_path(spec_of, tree_shapes)
 
 
 def make_sharded_batch_solver(solve_batch_fn, mesh: Mesh, example_args=None,
-                              axes=("dp", "sp")):
+                              axes=("dp", "sp"), arg_specs=None):
     """Shard a batch of problems over the mesh's problem axes (dp x sp).
+
+    `arg_specs`: optional sequence aligned with `example_args`; each entry is
+    None (infer the lane axis by extent) or an explicit PartitionSpec /
+    pytree of PartitionSpecs used verbatim for that argument. Pass explicit
+    specs for any argument whose leaves could have a non-lane axis equal to
+    the lane count (e.g. a shared unbatched environment: `P()`).
 
     `solve_batch_fn(starts (l,dim), goals, goal_masks, envs, samplers) ->
     result pytree` is any natively-batched solver
@@ -102,10 +123,17 @@ def make_sharded_batch_solver(solve_batch_fn, mesh: Mesh, example_args=None,
     abs_args = jax.tree.map(shrink, example_args)
     out_shapes = jax.eval_shape(solve_batch_fn, *abs_args)
     res_spec = _lane_axis_specs(out_shapes, lane, both)
-    in_spec = _lane_axis_specs(
-        jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), example_args),
-        lane_full,
-        both,
+    in_spec = tuple(
+        (
+            arg_specs[i]
+            if arg_specs is not None and arg_specs[i] is not None
+            else _lane_axis_specs(
+                jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), arg),
+                lane_full,
+                both,
+            )
+        )
+        for i, arg in enumerate(example_args)
     )
 
     @partial(

@@ -93,33 +93,41 @@ def make_aox_rrtc_batch(
 
     def solve(
         starts,  # (L, dim)
-        goals,  # (L, dim) single goal per lane
+        goals,  # (L, G, dim) — goal tree seeded with every live goal
         envs: PackedEnvironment,
         samplers: HaltonState,
         max_costs,  # (L,) current best path costs (upper bounds)
         rng_key,
         use_phs: bool = True,
+        goal_mask=None,  # (L, G) bool
         base_rot=None,
         base_pos=None,
     ) -> RRTCResult:
-        L = starts.shape[0]
+        L, G = goals.shape[0], goals.shape[1]
+        if goal_mask is None:
+            goal_mask = jnp.ones((L, G), bool)
         br, bp = base_rot, base_pos
         # unsolved lanes carry inf bounds; clamp to a finite bound so the PHS
         # transform stays well-defined (it then covers the whole joint space)
         diam_f = jnp.float32(float(np.linalg.norm(np.asarray(spec.range))))
         max_costs = jnp.minimum(max_costs, 8.0 * diam_f)
-        phs = phs_init(starts, goals)
+        # PHS is only used single-goal (reference aorrtc.hh:518,528-535)
+        phs = phs_init(starts, goals[:, 0])
         start_bm = starts.T  # (dim, L)
-        goal_bm = goals.T
+        goals_bm = goals.transpose(2, 1, 0)  # (dim, G, L)
 
         states = jnp.zeros((dim, N, L), jnp.float32)
         states = lax.dynamic_update_slice(states, start_bm[:, None, :], (0, 0, 0))
-        states = lax.dynamic_update_slice(states, goal_bm[:, None, :], (0, 1, 0))
+        states = lax.dynamic_update_slice(states, goals_bm, (0, 1, 0))
         parents = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, L))
         radii = jnp.full((N, L), INF)
         g_cost = jnp.zeros((N, L), jnp.float32)  # cost to own tree root
-        in_tree = jnp.zeros((N, L), jnp.int8).at[1].set(1)
-        slot_active = jnp.zeros((N, L), bool).at[0].set(True).at[1].set(True)
+        in_tree = jnp.zeros((N, L), jnp.int8)
+        in_tree = lax.dynamic_update_slice(
+            in_tree, jnp.ones((G, L), jnp.int8), (1, 0)
+        )
+        slot_active = jnp.zeros((N, L), bool).at[0].set(True)
+        slot_active = lax.dynamic_update_slice(slot_active, goal_mask.T, (1, 0))
         iota_N = jnp.arange(N, dtype=jnp.int32)[:, None]
 
         carry = dict(
@@ -129,8 +137,10 @@ def make_aox_rrtc_batch(
             g=g_cost,
             in_tree=in_tree,
             slot_active=slot_active,
-            slot=jnp.int32(2),
-            sizes=jnp.ones((2, L)),
+            slot=jnp.int32(1 + G),
+            sizes=jnp.stack(
+                [jnp.ones((L,)), jnp.sum(goal_mask, axis=1).astype(jnp.float32)]
+            ),
             tree_a=jnp.full((L,), 1 if rs.start_tree_first else 0, jnp.int8),
             sampler=samplers,
             key=rng_key,
@@ -246,10 +256,17 @@ def make_aox_rrtc_batch(
             else:
                 sample = u * scale[:, None] + lower[:, None]
 
-            # root of tree_a (start when tree_a == 0 else goal)
+            # root of tree_a (start when tree_a == 0 else the CLOSEST live
+            # goal to the sample — the reference's multi-goal optimistic f^,
+            # aorrtc.hh:154-166)
             a_is_start = tree_a == 0
-            root_bm = jnp.where(a_is_start[None, :], start_bm, goal_bm)
-            target_bm = jnp.where(a_is_start[None, :], goal_bm, start_bm)
+            gd = jnp.linalg.norm(sample[:, None, :] - goals_bm, axis=0)  # (G, L)
+            gd = jnp.where(goal_mask.T, gd, INF)
+            g_near = jnp.argmin(gd, axis=0)  # (L,)
+            oh_g = jnp.arange(G)[:, None] == g_near[None, :]
+            closest_goal_bm = jnp.sum(jnp.where(oh_g[None], goals_bm, 0.0), axis=1)
+            root_bm = jnp.where(a_is_start[None, :], start_bm, closest_goal_bm)
+            target_bm = jnp.where(a_is_start[None, :], closest_goal_bm, start_bm)
             g_hat = jnp.linalg.norm(sample - root_bm, axis=0)
             h_hat = jnp.linalg.norm(sample - target_bm, axis=0)
             c_range = jnp.maximum(max_costs - (g_hat + h_hat), 0.0)
@@ -477,7 +494,15 @@ def make_aorrtc_batch(
         max_samples=settings.max_samples,
     )
     inner = replace(settings, rrtc=rs)
-    rrtc = jax.jit(make_rrtc_batch(spec, rs, n_goals=1, max_path=max_path))
+    _rrtc_cache = {}
+
+    def rrtc_multi(G):
+        if G not in _rrtc_cache:
+            _rrtc_cache[G] = jax.jit(
+                make_rrtc_batch(spec, rs, n_goals=G, max_path=max_path)
+            )
+        return _rrtc_cache[G]
+
     aox = jax.jit(
         make_aox_rrtc_batch(spec, inner, max_path=max_path), static_argnames=("use_phs",)
     )
@@ -486,12 +511,20 @@ def make_aorrtc_batch(
     )
     dim = spec.dimension
 
-    def solve(starts, goals, envs, samplers=None):
+    def solve(starts, goals, envs, samplers=None, goal_mask=None):
+        """goals: (L, dim) single goal, or (L, G, dim) multi-goal — the
+        initial RRTC is seeded with every goal and the AOX rounds use plain
+        sampling when G > 1 (PHS only when G == 1; aorrtc.hh:528-535)."""
         L = starts.shape[0]
         if samplers is None:
             samplers = halton_init_batch(dim, L)
+        if goals.ndim == 2:
+            goals = goals[:, None, :]
+        G = goals.shape[1]
+        if goal_mask is None:
+            goal_mask = jnp.ones((L, G), bool)
 
-        res = rrtc(starts, goals[:, None, :], jnp.ones((L, 1), bool), envs, samplers)
+        res = rrtc_multi(G)(starts, goals, goal_mask, envs, samplers)
         simp = simplify(res.path, res.path_length, envs)
         best_paths = simp.path
         best_lens = simp.path_length
@@ -504,7 +537,8 @@ def make_aorrtc_batch(
             for r in range(rounds):
                 ar = aox(
                     starts, goals, envs, samplers, best_costs, key,
-                    use_phs=settings.use_phs,
+                    use_phs=settings.use_phs and G == 1,
+                    goal_mask=goal_mask,
                 )
                 samplers = ar.sampler
                 iterations = iterations + ar.iterations

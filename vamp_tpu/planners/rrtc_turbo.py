@@ -82,15 +82,25 @@ def make_rrtc_turbo_batch(
     n_goals: int = 1,
     max_path: int = 256,
     connect_segs: int = 1,
+    hier: Optional[bool] = None,
 ):
     """Build `solve_batch(starts (L,dim), goals (L,G,dim), goal_mask (L,G),
-    envs, samplers?, base_rot?, base_pos?) -> RRTCResult`.
+    envs, samplers?, base_rot?, base_pos?, group_id?) -> RRTCResult`.
 
     `envs`: one PackedEnvironment shared by all lanes, or a lane-batched one
     (leading L on every leaf). `connect_segs` = K speculative connect segments
-    validated per step alongside the extend edge.
-    """
-    fkcc = make_fkcc_planner(spec)
+    validated per step alongside the extend edge. `hier` uses the coarse-gate
+    + compacted fine checker (ops/fkcc_hier) for edge validation — boolean-
+    identical to dense except compaction overflow, which conservatively
+    rejects the edge (it auto-falls back to dense for env features the
+    hierarchy does not cover)."""
+    if hier is None:
+        hier = _os.environ.get("VAMP_TURBO_HIER", "0") == "1"
+    # jnp.sin/cos instead of the reference's 16-op polynomial: one XLA op
+    # each, more accurate; op count is what's priced on the target device.
+    fkcc = make_fkcc_planner(
+        spec, native_trig=_os.environ.get("VAMP_TURBO_NATIVE_TRIG", "1") == "1"
+    )
     dim = spec.dimension
     res = spec.resolution
     N = settings.max_samples
@@ -101,6 +111,12 @@ def make_rrtc_turbo_batch(
     T_edge = _tile_states(min(settings.range, diam), res)
     T_line = _tile_states(diam, res)
     T_total = (1 + K) * T_edge
+
+    if hier:
+        from ..ops.fkcc_hier import make_fkcc_hier_blocks
+
+        check_edge_blocks = make_fkcc_hier_blocks(spec, 1 + K, T_edge)
+        check_line_blocks = make_fkcc_hier_blocks(spec, 1, T_line)
 
     lower = jnp.asarray(spec.lower)
     scale = jnp.asarray(spec.range)
@@ -117,6 +133,8 @@ def make_rrtc_turbo_batch(
         # (1+K, T, L); configs (dim, 1+K, T, L) -> (dim, (1+K)*T, L)
         q = p_blocks[:, :, None, :] + v_blocks[:, :, None, :] * frac[:, None]
         q = jnp.moveaxis(q, 1, 0).reshape(dim, T_total, -1)
+        if hier:
+            return check_edge_blocks(q, envs, br, bp)  # (1+K, L)
         ok = fkcc(q, envs, br, bp)  # (T_total, L)
         return jnp.all(ok.reshape(1 + K, T_edge, -1), axis=1)  # (1+K, L)
 
@@ -126,6 +144,8 @@ def make_rrtc_turbo_batch(
         j = jnp.arange(1, T_line + 1, dtype=jnp.float32)
         frac = jnp.minimum(j[:, None], total[None, :]) / total[None, :]
         q = starts_bm[:, None, :] + vecs_bm[:, None, :] * frac[None]
+        if hier:
+            return check_line_blocks(q, envs, br, bp)[0]
         ok = fkcc(q, envs, br, bp)
         return jnp.all(ok, axis=0)
 
@@ -181,9 +201,6 @@ def make_rrtc_turbo_batch(
         states = jnp.zeros((dim, N, L), jnp.float32)
         states = lax.dynamic_update_slice(states, starts.T[:, None, :], (0, 0, 0))
         states = lax.dynamic_update_slice(states, goals.transpose(2, 1, 0), (0, 1, 0))
-        states_lm = jnp.zeros((L, N, dim), jnp.float32)
-        states_lm = lax.dynamic_update_slice(states_lm, starts[:, None, :], (0, 0, 0))
-        states_lm = lax.dynamic_update_slice(states_lm, goals, (0, 1, 0))
 
         start_sq = jnp.sum(starts * starts, axis=1)  # (L,)
         goal_sq = jnp.sum(goals * goals, axis=2)  # (L, G)
@@ -200,7 +217,6 @@ def make_rrtc_turbo_batch(
 
         carry = dict(
             states=states,
-            states_lm=states_lm,
             s2a=s2a,
             s2b=s2b,
             parents=parents,
@@ -236,27 +252,17 @@ def make_rrtc_turbo_batch(
                 return c["step"] < _FIXED_STEPS
             return jnp.any(running(c)) & (c["slot"] < N - 1)
 
-        def nearest(s2_sel, states, q_bm):
-            """One-pass NN: sq = s2 - 2 s.q + |q|^2 (s2 carries BIG sentinels).
-            Returns (idx (L,), sqdist (L,)).
-
-            The dot is an elementwise multiply + reduce over the 7-long MAJOR
-            axis — NOT einsum/dot_general: a (N,7)x(7,1) batched matvec pads
-            K and N to the 128x128 MXU tile and costs ~1.2ms/step at L=128
-            (measured; 600x its useful flops)."""
-            dot = jnp.sum(states * q_bm[:, None, :], axis=0)
-            q2 = jnp.sum(q_bm * q_bm, axis=0)
-            sq = s2_sel - 2.0 * dot + q2[None, :]
-            idx = jnp.argmin(sq, axis=0).astype(jnp.int32)
-            return idx, jnp.maximum(jnp.min(sq, axis=0), 0.0)
-
-        def fetch_cfg(states_lm, idx):
-            """(L,) slot ids -> (dim, L) configurations (lane-major gather)."""
-            got = jnp.take_along_axis(states_lm, idx[:, None, None], axis=1)
-            return got[:, 0, :].T
+        def fetch_cfg(states, idx):
+            """(L,) slot ids -> (dim, L) configurations, gathered per lane
+            along the slot axis of the (dim, N, L) buffer (no lane-major
+            mirror: one fewer big carried buffer + per-step update)."""
+            got = jnp.take_along_axis(
+                states, jnp.broadcast_to(idx[None, None, :], (dim, 1, L)), axis=1
+            )
+            return got[:, 0, :]
 
         def body(c):
-            states, states_lm = c["states"], c["states_lm"]
+            states = c["states"]
             s2a, s2b = c["s2a"], c["s2b"]
             parents, radii = c["parents"], c["radii"]
             slot, sizes, tree_a = c["slot"], c["sizes"], c["tree_a"]
@@ -295,25 +301,29 @@ def make_rrtc_turbo_batch(
                 )
             sample = u * scale[:, None] + lower[:, None]
 
-            # -- NN in tree_a (rrtc.hh:117-123) -----------------------------
+            # -- NN in BOTH trees from one states sweep ---------------------
+            # Both queries use the SAMPLE (see the other-tree note below), so
+            # the dot over the (dim, N, L) buffer — the dominant per-step HBM
+            # read in deep waves — is computed once; each tree then costs one
+            # (N, L) argmin over its own sentinel array, and per-lane tree
+            # identity is a select of the two results.
             if "nn" in _DISABLE:
                 near_idx = jnp.zeros((L,), jnp.int32)
-                near_sq = jnp.ones((L,))
-            elif "nnargmin" in _DISABLE:
-                # compute the argmin but feed a static index downstream (the
-                # *0 into the iter carry keeps it un-DCE-able)
-                s2_sel = jnp.where(in_a, s2a, s2b)
-                _i, near_sq = nearest(s2_sel, states, sample)
-                _nn_dep = _i * 0
-                near_idx = jnp.zeros((L,), jnp.int32)
+                arg_a = arg_b = near_idx
             else:
-                s2_sel = jnp.where(in_a, s2a, s2b)
-                near_idx, near_sq = nearest(s2_sel, states, sample)
+                dot = jnp.sum(states * sample[:, None, :], axis=0)  # (N, L)
+                q2 = jnp.sum(sample * sample, axis=0)
+                sq_a = s2a - 2.0 * dot + q2[None, :]
+                sq_b = s2b - 2.0 * dot + q2[None, :]
+                arg_a = jnp.argmin(sq_a, axis=0).astype(jnp.int32)
+                arg_b = jnp.argmin(sq_b, axis=0).astype(jnp.int32)
+                in_a_sel = in_a[0]
+                near_idx = jnp.where(in_a_sel, arg_a, arg_b)
             if "gather" in _DISABLE:
                 near_cfg = sample * 0.9
                 near_rad = jnp.full((L,), INF)
             else:
-                near_cfg = fetch_cfg(states_lm, near_idx)
+                near_cfg = fetch_cfg(states, near_idx)
                 near_rad = jnp.take_along_axis(radii, near_idx[None, :], axis=0)[0]
 
             vec = sample - near_cfg
@@ -335,23 +345,22 @@ def make_rrtc_turbo_batch(
             new_cfg = near_cfg + ext_vec
 
             # -- NN in the other tree ---------------------------------------
-            # Queried with the SAMPLE, not the speculative new node: the two
-            # NN sweeps are then data-independent and their (gather-heavy)
-            # phases overlap, instead of serializing NN1 -> new_cfg -> NN2.
-            # When the sample is within `range` of the near node the query is
-            # identical (new_cfg == sample); otherwise new_cfg lies on the
-            # near->sample segment and the chosen connect target is almost
-            # always the same node. Deviation from rrtc.hh:160-165 documented
-            # in the module docstring (turbo already trades stream parity).
+            # Queried with the SAMPLE, not the speculative new node: both NN
+            # queries then share one states sweep (above) instead of
+            # serializing NN1 -> new_cfg -> NN2. When the sample is within
+            # `range` of the near node the query is identical (new_cfg ==
+            # sample); otherwise new_cfg lies on the near->sample segment and
+            # the chosen connect target is almost always the same node.
+            # Deviation from rrtc.hh:160-165 documented in the module
+            # docstring (turbo already trades stream parity).
             if "nn" in _DISABLE or "nn2" in _DISABLE:
                 ob_idx = jnp.ones((L,), jnp.int32)
             else:
-                s2_oth = jnp.where(in_a, s2b, s2a)
-                ob_idx, _ = nearest(s2_oth, states, sample)
+                ob_idx = jnp.where(in_a_sel, arg_b, arg_a)
             if "gather" in _DISABLE:
                 ob_cfg = new_cfg + 0.1
             else:
-                ob_cfg = fetch_cfg(states_lm, ob_idx)
+                ob_cfg = fetch_cfg(states, ob_idx)
             ob_dist = jnp.linalg.norm(ob_cfg - new_cfg, axis=0)
             n_segs = jnp.maximum(jnp.ceil(ob_dist / rng_range), 1.0)
 
@@ -446,9 +455,6 @@ def make_rrtc_turbo_batch(
             if "ins" not in _DISABLE:
                 rows = jnp.stack([node0, way_cfg], axis=1)  # (dim, 2, L)
                 states = lax.dynamic_update_slice(states, rows, (0, slot, 0))
-                states_lm = lax.dynamic_update_slice(
-                    states_lm, jnp.transpose(rows, (2, 1, 0)), (0, slot, 0)
-                )
                 n0_sq = jnp.sum(node0 * node0, axis=0)
                 n1_sq = jnp.sum(way_cfg * way_cfg, axis=0)
                 s2a = lax.dynamic_update_slice(
@@ -514,7 +520,6 @@ def make_rrtc_turbo_batch(
             return dict(
                 step=c["step"] + 1,
                 states=states,
-                states_lm=states_lm,
                 s2a=s2a,
                 s2b=s2b,
                 parents=parents,
@@ -523,8 +528,7 @@ def make_rrtc_turbo_batch(
                 sizes=sizes,
                 tree_a=tree_a,
                 sampler=sampler,
-                iter=c["iter"] + extend.astype(jnp.int32)
-                + (_nn_dep if "nnargmin" in _DISABLE else 0),
+                iter=c["iter"] + extend.astype(jnp.int32),
                 done=c["done"] | share(connected),
                 solved=c["solved"] | connected,
                 mode=mode,
@@ -544,7 +548,7 @@ def make_rrtc_turbo_batch(
         # tail_a is the junction node in tree_a; tail_b the connect target in
         # the other tree (the validated straight junction->target edge is
         # implicit). Both chains include their endpoint.
-        states_lm = out["states_lm"]  # (L, N, dim)
+        states_lm = out["states"].transpose(2, 1, 0)  # (L, N, dim)
         parents_lm = out["parents"].T  # (L, N)
         tree_a_end = out["tree_a"]
 
