@@ -243,41 +243,45 @@ def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
         dsq = dsq + (c - cl) ** 2
     inb = inb & (dsq <= rsq)
 
-    # affordance-buffer scan: fixed-size gathers + mask-reduce, chunked over
-    # the sphere axis and the affordance axis so the gathered temporaries
-    # stay bounded (dense clouds reach max_aff of several hundred; an
-    # unchunked gather of (S, *batch, max_aff, 3) can exceed HBM).
+    # affordance-buffer scan: the (leaf, aff) axes flatten into one gather
+    # axis and a lax.fori_loop streams fixed-size affordance chunks — the
+    # gathered temporary is bounded at A_C points per query sphere AND the
+    # program size is constant in max_aff (a python chunk loop either OOMs
+    # on dense clouds or explodes compile time inside planner loops).
     max_aff = capt.leaf_points.shape[-2]
     S = xs.shape[0]
     batch_elems = int(np.prod(xs.shape[1:])) if xs.ndim > 1 else 1
-    # Slice budget balances two cliffs: per-slice memory (the gather
-    # materializes slice_elems * 3 coords) and program size (each slice
-    # unrolls; dozens of slices inside a planner loop explode compile time).
-    total = S * batch_elems * max_aff
-    target = max(16 * 1024 * 1024, -(-total // 12))  # <= ~12 slices
-    if total <= target:
-        S_C, A_C = S, max_aff
+    budget = 8 * 1024 * 1024  # gathered points per chunk (x3 coords x4B)
+    A_C = int(min(max_aff, max(budget // max(S * batch_elems, 1), 8)))
+    n_ac = -(-max_aff // A_C)
+    pts_all = capt.leaf_points
+    nleaf = pts_all.shape[-3]
+    if batched:
+        Lb = pts_all.shape[0]
+        flat = pts_all.reshape(Lb, nleaf * max_aff, 3)
     else:
-        S_C = max(min(S, target // max(batch_elems * max_aff, 1)), 1)
-        A_C = max(min(max_aff, target // max(batch_elems * S_C, 1)), 1)
+        flat = pts_all.reshape(nleaf * max_aff, 3)
+    lanes = lane_of(z)
+    rsqb = jnp.broadcast_to(rsq, xs.shape)
+    base = z * max_aff  # (S, *batch)
+    aoff = jnp.arange(A_C, dtype=jnp.int32)
+    aoff = aoff.reshape((1,) * z.ndim + (A_C,))
 
-    hit = jnp.zeros(xs.shape, bool)
-    for s0 in range(0, S, S_C):
-        s1 = min(s0 + S_C, S)
-        zb = z[s0:s1]
-        lanes = lane_of(zb)
-        rsqb = jnp.broadcast_to(rsq, xs.shape)[s0:s1]
-        for a0 in range(0, max_aff, A_C):
-            a1 = min(a0 + A_C, max_aff)
-            if batched:
-                pts = capt.leaf_points[lanes, zb, a0:a1]
-            else:
-                pts = capt.leaf_points[zb, a0:a1]
-            dx = pts[..., 0] - xs[s0:s1, ..., None]
-            dy = pts[..., 1] - ys[s0:s1, ..., None]
-            dz = pts[..., 2] - zs[s0:s1, ..., None]
-            h = jnp.any(dx * dx + dy * dy + dz * dz <= rsqb[..., None], axis=-1)
-            hit = hit.at[s0:s1].set(hit[s0:s1] | h)
+    def aff_chunk(ai, acc):
+        # clamp the window so the last (ragged) chunk re-reads the final
+        # in-leaf points instead of spilling into the next leaf (duplicate
+        # distance checks are harmless; padded points are FAR sentinels)
+        a = jnp.minimum(ai * A_C + aoff, max_aff - 1)
+        cols = base[..., None] + a  # (S, *batch, A_C)
+        pts = flat[lanes[..., None], cols] if batched else flat[cols]
+        dx = pts[..., 0] - xs[..., None]
+        dy = pts[..., 1] - ys[..., None]
+        dz = pts[..., 2] - zs[..., None]
+        return acc | jnp.any(
+            dx * dx + dy * dy + dz * dz <= rsqb[..., None], axis=-1
+        )
+
+    hit = jax.lax.fori_loop(0, n_ac, aff_chunk, jnp.zeros(xs.shape, bool))
     hit = hit & inb
     return jnp.any(hit, axis=0)
 
