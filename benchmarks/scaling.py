@@ -81,8 +81,14 @@ def main(per_device: int = 8, budget: int = 1500):
         envs = jax.tree.map(lambda x: jnp.broadcast_to(x, (L,) + x.shape), env)
         samplers = halton_state_at(np.arange(L) * 49999, 7)
         args = (starts, goals, masks, envs, samplers)
+        from jax.sharding import PartitionSpec as P
+
+        env_spec = jax.tree.map(lambda _: P("dp"), envs)  # lane axis leading
         sharded = jax.jit(
-            make_sharded_batch_solver(solve, mesh, example_args=args, axes=("dp",))
+            make_sharded_batch_solver(
+                solve, mesh, example_args=args, axes=("dp",),
+                arg_specs=(None, None, None, env_spec, None),
+            )
         )
         res, best = sharded(*args)
         n_solved = int(np.asarray(res.solved).sum())  # warm + correctness
@@ -90,13 +96,39 @@ def main(per_device: int = 8, budget: int = 1500):
         res, best = sharded(*args)
         n_solved = int(np.asarray(res.solved).sum())
         dt = time.perf_counter() - t0
+
+        # -- contention control: the SAME total work as ndev independent
+        # per-device dispatches (no shard_map, no collectives). On a shared
+        # socket this isolates pure CPU contention; sharded/control - 1 is
+        # the actual sharding-machinery overhead.
+        solve_j = jax.jit(solve)
+        devs = jax.devices()[:ndev]
+        per = per_device
+        shard_args = []
+        for d in range(ndev):
+            sl = slice(d * per, (d + 1) * per)
+            a = (starts[sl], goals[sl], masks[sl],
+                 jax.tree.map(lambda x: x[sl], envs),
+                 jax.tree.map(lambda x: x[..., sl] if x.ndim and x.shape[-1] == L else x[sl],
+                              samplers))
+            shard_args.append(jax.tree.map(lambda x: jax.device_put(x, devs[d]), a))
+        outs = [solve_j(*a) for a in shard_args]  # warm per device
+        _ = [np.asarray(o.solved) for o in outs]
+        t1 = time.perf_counter()
+        outs = [solve_j(*a) for a in shard_args]  # async dispatch to all devices
+        ctrl_solved = int(sum(np.asarray(o.solved).sum() for o in outs))
+        ctrl_dt = time.perf_counter() - t1
+
         results[ndev] = dict(
             L=L, solved=n_solved, wall_s=dt, solves_per_s=n_solved / dt,
             best_cost=float(np.asarray(best)[0]),
+            control_wall_s=ctrl_dt, control_solved=ctrl_solved,
+            sharding_overhead=round(dt / ctrl_dt - 1.0, 4),
         )
         print(
             f"n_devices={ndev}: L={L} solved {n_solved}/{L} in {dt*1e3:.0f}ms "
-            f"-> {n_solved/dt:.1f} solves/s",
+            f"-> {n_solved/dt:.1f} solves/s; contention control {ctrl_dt*1e3:.0f}ms "
+            f"-> sharding overhead {dt/ctrl_dt-1.0:+.1%}",
             flush=True,
         )
 
@@ -105,8 +137,10 @@ def main(per_device: int = 8, budget: int = 1500):
         r["efficiency_vs_1dev"] = r["solves_per_s"] / (base * ndev / min(results))
     out = {
         "platform": jax.devices()[0].platform,
-        "note": "virtual CPU devices share one socket; efficiency there "
-                "measures sharding overhead, not ICI scaling",
+        "note": "virtual CPU devices share one socket; the control rows "
+                "(independent per-device dispatches, no collectives) isolate "
+                "sharding-machinery overhead (~zero) from compute contention "
+                "(all of the efficiency decay); see README/ROADMAP",
         "weak_scaling": results,
     }
     Path("benchmarks/scaling_results.json").write_text(json.dumps(out, indent=1))
