@@ -41,11 +41,15 @@ DATA_DIR = Path(__file__).resolve().parent / "data"
 # moderate budget with freshly rotated racing streams exploits the
 # heavy-tailed restart distribution instead of paying for one enormous tree
 # (whose NN sweeps grow quadratically in budget).
+# With racing-group done sharing, a wave runs its FULL budget whenever any
+# problem has no winner yet — so later waves favor smaller budgets + more
+# decorrelated streams (wide and shallow), leaving only the last wave deep.
 DEFAULT_WAVES = (
     (128, 384, 1, 1024, 1),
-    (512, 1408, 3, 768, 1),
-    (1536, 4096, 8, 320, 1),
-    (1536, 4096, 24, 192, 4),
+    (384, 1024, 2, 768, 1),
+    (768, 2048, 5, 512, 1),
+    (1280, 3456, 12, 256, 1),
+    (1536, 4096, 24, 128, 2),
     (6144, 16384, 48, 96, 1),
 )
 

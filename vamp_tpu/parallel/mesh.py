@@ -41,7 +41,7 @@ def make_mesh(n_devices: Optional[int] = None, sp: int = 1) -> Mesh:
     return Mesh(arr, ("dp", "sp"))
 
 
-def _lane_axis_specs(tree_shapes, lane: int, axes):
+def _lane_axis_specs(tree_shapes, lane: int, axes, on_ambiguity: str = "raise"):
     """PartitionSpec pytree sharding, per leaf, the axis whose extent equals
     `lane` (the per-shard lane count); leaves without one replicate.
 
@@ -62,11 +62,22 @@ def _lane_axis_specs(tree_shapes, lane: int, axes):
     def spec_of(path, shape):
         hits = [i for i, s in enumerate(shape.shape) if s == lane]
         if len(hits) > 1:
-            raise ValueError(
-                f"ambiguous lane axis for leaf {jax.tree_util.keystr(path)} "
-                f"shape {shape.shape}: axes {hits} all have extent {lane}; "
-                "pass an explicit PartitionSpec via arg_specs"
-            )
+            if on_ambiguity == "first":
+                # result pytrees put lanes on the leading axis by convention
+                # (RRTCResult/FCITResult are lane-major); warn and use it
+                import warnings
+
+                warnings.warn(
+                    f"ambiguous lane axis for result leaf "
+                    f"{jax.tree_util.keystr(path)} shape {shape.shape}; "
+                    f"using leading axis {hits[0]}"
+                )
+            else:
+                raise ValueError(
+                    f"ambiguous lane axis for leaf {jax.tree_util.keystr(path)} "
+                    f"shape {shape.shape}: axes {hits} all have extent {lane}; "
+                    "pass an explicit PartitionSpec via arg_specs"
+                )
         if hits:
             return P(*((None,) * hits[0] + (axes,)))
         return P()
@@ -122,7 +133,7 @@ def make_sharded_batch_solver(solve_batch_fn, mesh: Mesh, example_args=None,
 
     abs_args = jax.tree.map(shrink, example_args)
     out_shapes = jax.eval_shape(solve_batch_fn, *abs_args)
-    res_spec = _lane_axis_specs(out_shapes, lane, both)
+    res_spec = _lane_axis_specs(out_shapes, lane, both, on_ambiguity="first")
     in_spec = tuple(
         (
             arg_specs[i]
