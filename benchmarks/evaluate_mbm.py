@@ -157,10 +157,8 @@ def evaluate(
             caps["spheres"] = max(caps["spheres"], len(e.spheres))
             caps["capsules"] = max(caps["capsules"], len(e.capsules))
             caps["cuboids"] = max(caps["cuboids"], len(e.cuboids))
-        envs_list = [
-            vamp.problem_dict_to_vamp(p).pack(quantum=1, capacities=caps)
-            for p in problems
-        ]
+        env_objs = [vamp.problem_dict_to_vamp(p) for p in problems]
+        envs_list = [e.pack(quantum=1, capacities=caps) for e in env_objs]
     envs_all = jax.tree.map(lambda *xs: jnp.stack(xs), *envs_list)
 
     # -- problem validity (reference: data['valid'] filter), batched --------
@@ -218,7 +216,29 @@ def evaluate(
             solve = jax.jit(
                 make_solver(spec, settings, n_goals=1, max_path=path_caps)
             )
-            envs_w = jax.tree.map(lambda x: x[idx], envs_all)
+            if pointcloud:
+                envs_w = jax.tree.map(lambda x: x[idx], envs_all)
+            else:
+                # tight per-wave capacities: the suite-wide caps (21 slots)
+                # pad the median problem's 12 live shapes with dead slots
+                # that still cost full env-sweep work; survivors repack at
+                # exactly this wave's maxima
+                wcaps = {"spheres": 0, "capsules": 0, "cuboids": 0}
+                for i in pending:
+                    e = env_objs[i]
+                    wcaps["spheres"] = max(wcaps["spheres"], len(e.spheres))
+                    wcaps["capsules"] = max(wcaps["capsules"], len(e.capsules))
+                    wcaps["cuboids"] = max(wcaps["cuboids"], len(e.cuboids))
+                packed_w = {
+                    int(i): env_objs[i].pack(quantum=1, capacities=wcaps)
+                    for i in pending
+                }
+                fill = int(pending[0])
+                envs_w = jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[packed_w[int(i) if lane_live[k] else fill]
+                      for k, i in enumerate(idx)],
+                )
             args = (
                 jnp.asarray(starts[idx]),
                 jnp.asarray(goals[idx])[:, None, :],

@@ -116,7 +116,10 @@ def main():
     ap.add_argument("--rounds", type=int, default=8)
     ap.add_argument("--batch", type=int, default=256)
     args = ap.parse_args()
-    out = {}
+    # merge with any existing artifact so single-robot reruns don't drop
+    # the other robots' traces
+    path = Path("benchmarks/fcit_convergence_results.json")
+    out = json.loads(path.read_text()) if path.exists() else {}
     for r in args.robots:
         res = run_robot(r, args.n, args.rounds, args.batch)
         out[r] = res

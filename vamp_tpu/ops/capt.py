@@ -226,16 +226,30 @@ def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
     for k in range(3):
         inb = inb & (coords[k] + r_eff >= lo[k]) & (coords[k] - r_eff <= hi[k])
 
-    # lockstep descent (capt.hh:457-541)
+    # lockstep descent (capt.hh:457-541). All lane-batched lookups use
+    # LINEAR jnp.take over flattened (lane, node) tables — multi-axis
+    # advanced-indexing gathers inside planner while_loops fault the
+    # tunnel TPU worker (observed kernel crashes, round 3).
+    ntests = capt.tests.shape[-1]
+
+    def table_take(tab, node_idx):
+        # tab (L, n, ...) batched or (n, ...) single; node_idx (S, *batch)
+        if not batched:
+            return jnp.take(tab, node_idx, axis=0)
+        n = tab.shape[1]
+        flat = tab.reshape((tab.shape[0] * n,) + tab.shape[2:])
+        lin = lane_of(node_idx) * n + node_idx
+        return jnp.take(flat, lin, axis=0)
+
     idx = jnp.zeros(xs.shape, jnp.int32)
     for level in range(capt.nlog2):
         k = level % 3
-        t = capt.tests[lane_of(idx), idx] if batched else capt.tests[idx]
+        t = table_take(capt.tests, idx)
         idx = 2 * idx + 1 + (coords[k] >= t).astype(jnp.int32)
-    z = idx - capt.tests.shape[-1]
+    z = idx - ntests
 
     # leaf AABB prune (point-fattened)
-    albl = capt.leaf_aabb[lane_of(z), z] if batched else capt.leaf_aabb[z]
+    albl = table_take(capt.leaf_aabb, z)
     dsq = 0.0
     for k in range(3):
         c = coords[k]
@@ -258,12 +272,12 @@ def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
     nleaf = pts_all.shape[-3]
     if batched:
         Lb = pts_all.shape[0]
-        flat = pts_all.reshape(Lb, nleaf * max_aff, 3)
+        flat = pts_all.reshape(Lb * nleaf * max_aff, 3)
+        base = (lane_of(z) * nleaf + z) * max_aff  # (S, *batch) linear
     else:
         flat = pts_all.reshape(nleaf * max_aff, 3)
-    lanes = lane_of(z)
+        base = z * max_aff
     rsqb = jnp.broadcast_to(rsq, xs.shape)
-    base = z * max_aff  # (S, *batch)
     aoff = jnp.arange(A_C, dtype=jnp.int32)
     aoff = aoff.reshape((1,) * z.ndim + (A_C,))
 
@@ -272,8 +286,8 @@ def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
         # in-leaf points instead of spilling into the next leaf (duplicate
         # distance checks are harmless; padded points are FAR sentinels)
         a = jnp.minimum(ai * A_C + aoff, max_aff - 1)
-        cols = base[..., None] + a  # (S, *batch, A_C)
-        pts = flat[lanes[..., None], cols] if batched else flat[cols]
+        lin = base[..., None] + a  # (S, *batch, A_C) linear indices
+        pts = jnp.take(flat, lin, axis=0)
         dx = pts[..., 0] - xs[..., None]
         dy = pts[..., 1] - ys[..., None]
         dz = pts[..., 2] - zs[..., None]
