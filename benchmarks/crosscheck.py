@@ -140,8 +140,64 @@ def main():
         verdicts[int(k)] = (int(ok), int(bad))
 
     agree = sum(1 for k in verdicts if verdicts[k][0] == 1)
+
+    from vamp_tpu.ops.fkcc_bm import make_sphere_fk_bm
+
+    fk64 = make_sphere_fk_bm(spec)  # poly trig = reference math
+
+    def edge_margin(i, which, edge):
+        """Float64 min signed clearance of the rejected edge over the
+        reference's exact check set (fractions j/(8n))."""
+        p = (paths if which == "initial" else simp_paths)[i]
+        a, b = p[edge], p[edge + 1]
+        d = float(np.linalg.norm((b - a).astype(np.float32)))
+        n8 = max(int(np.ceil(np.float32(d) * spec.resolution / 8.0)), 1) * 8
+        fr = np.arange(1, n8 + 1, dtype=np.float32) / np.float32(n8)
+        qs = a[None] + fr[:, None] * (b - a)[None]
+        xs, ys, zs = fk64(jnp.asarray(qs.T), None, None)
+        xs = np.asarray(xs, np.float64)
+        ys = np.asarray(ys, np.float64)
+        zs = np.asarray(zs, np.float64)
+        rad = spec.sphere_radius.astype(np.float64)[:, None]
+        e = envs[i]
+        worst = np.inf
+        for o in e.spheres:
+            c = np.asarray(o.center, np.float64)
+            dd = np.sqrt((xs - c[0]) ** 2 + (ys - c[1]) ** 2 + (zs - c[2]) ** 2) - rad - o.radius
+            worst = min(worst, float(dd.min()))
+        for o in e.capsules:
+            x1 = np.asarray(o.x1, np.float64)
+            xv = np.asarray(o.xv, np.float64)
+            t = np.clip(
+                ((xs - x1[0]) * xv[0] + (ys - x1[1]) * xv[1] + (zs - x1[2]) * xv[2])
+                / np.dot(xv, xv), 0, 1,
+            )
+            dd = np.sqrt(
+                (xs - x1[0] - t * xv[0]) ** 2 + (ys - x1[1] - t * xv[1]) ** 2
+                + (zs - x1[2] - t * xv[2]) ** 2
+            ) - rad - o.radius
+            worst = min(worst, float(dd.min()))
+        for o in e.cuboids:
+            c = np.asarray(o.center, np.float64)
+            ax = np.asarray(o.axes, np.float64)
+            h = np.asarray(o.half_extents, np.float64)
+            dx, dy, dz = xs - c[0], ys - c[1], zs - c[2]
+            sq = 0.0
+            for k in range(3):
+                pr = dx * ax[k, 0] + dy * ax[k, 1] + dz * ax[k, 2]
+                sq = sq + np.maximum(np.abs(pr) - h[k], 0.0) ** 2
+            worst = min(worst, float((np.sqrt(sq) - rad).min()))
+        return worst
+
     disagreements = [
-        dict(problem=order[k][0], path=order[k][1], first_bad_edge=verdicts[k][1])
+        dict(
+            problem=order[k][0],
+            path=order[k][1],
+            first_bad_edge=verdicts[k][1],
+            float64_min_clearance_m=round(
+                edge_margin(order[k][0], order[k][1], verdicts[k][1]), 9
+            ),
+        )
         for k in verdicts
         if verdicts[k][0] == 0
     ]
@@ -153,13 +209,7 @@ def main():
         "agreement": round(agree / max(len(verdicts), 1), 4),
         "disagreements": disagreements,
         "oracle": "reference validate_motion<PandaBase<0,0,0>,8,32> compiled from /root/reference",
-        "note": (
-            "Disagreements, when present, are ulp-grazing cases: e.g. the one "
-            "observed at n=48 has +2.7e-6 m float64 clearance at its worst "
-            "reference check state (cuboid vs sphere 53) — collision-free in "
-            "exact arithmetic, rejected by the reference's f32 fast-math by "
-            "micrometres. Both verdicts are within f32 geometry noise."
-        ),
+        "note": "Each disagreement carries its float64 minimum signed clearance over the reference's exact check set. Measured range at n=96: +1.4e-5 m to -3.6e-4 m. Positive: collision-free in exact arithmetic, rejected by the reference's f32 fast-math by ulps. Negative: a sub-millimetre contact that lies BETWEEN check states of one grid - the two implementations' f32 edge lengths can differ by ulps, flipping n = ceil(dist*res/8) at a boundary and shifting every check fraction j/(8n); contacts thinner than the resolution-32 sampling spacing are then sampled by one grid and missed by the other, in either direction. Both implementations accept/reject such paths only up to the resolution-32 contract; neither grid dominates the other.",
     }
     path = Path(__file__).resolve().parent / "crosscheck_results.json"
     path.write_text(json.dumps(out, indent=1))
