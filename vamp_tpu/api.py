@@ -162,7 +162,21 @@ class HaltonSampler:
 
 
 
-_WARMED: set = set()
+_WARMED: dict = {}  # id(fn) -> weakref (id alone can alias after GC)
+
+
+def _is_warmed(fn) -> bool:
+    ref = _WARMED.get(id(fn))
+    return ref is not None and ref() is fn
+
+
+def _mark_warmed(fn) -> None:
+    import weakref
+
+    try:
+        _WARMED[id(fn)] = weakref.ref(fn)
+    except TypeError:  # non-weakrefable callable: pin it (rare, small)
+        _WARMED[id(fn)] = (lambda obj: (lambda: obj))(fn)
 
 
 def _timed(fn, *args):
@@ -173,10 +187,12 @@ def _timed(fn, *args):
     otherwise dominate `PlanningResult.nanoseconds` on the single-problem
     API path. Warm once per executable (result discarded — the solvers are
     functional and deterministic), then time the real call to completion.
+    Warm state is keyed by (id, weakref identity): a recycled id after GC of
+    a retired executable cannot skip warm-up for a different function.
     """
-    if id(fn) not in _WARMED:
+    if not _is_warmed(fn):
         jax.block_until_ready(fn(*args))
-        _WARMED.add(id(fn))
+        _mark_warmed(fn)
     t0 = time.perf_counter_ns()
     out = jax.block_until_ready(fn(*args))
     return out, time.perf_counter_ns() - t0

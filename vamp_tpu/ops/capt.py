@@ -122,9 +122,6 @@ def build_capt(points: np.ndarray, r_min: float, r_max: float, point_radius: flo
             test = FAR
         tests[ti] = test
 
-        in_range = afford[
-            (pts[afford, d] >= test - max_aff_l1) | (pts[afford, d] <= test + max_aff_l1)
-        ]
         lo_aff = afford[pts[afford, d] <= test + max_aff_l1]
         hi_aff = afford[pts[afford, d] >= test - max_aff_l1]
         # points crossing from the sibling half
@@ -210,7 +207,7 @@ def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
     test lookups and leaf gathers then index (lane, idx)."""
     coords = (xs, ys, zs)
     batched = capt.tests.ndim == 2
-    r_eff = radii_col + (capt.point_radius if not batched else capt.point_radius)
+    r_eff = radii_col + capt.point_radius
     rsq = r_eff * r_eff
 
     def lane_of(a):

@@ -523,6 +523,19 @@ def _make_checker(spec: RobotSpec, native_trig: bool = False):
     _FKCC_DISABLE = set(
         filter(None, _os.environ.get("VAMP_FKCC_DISABLE", "").split(","))
     )
+    if _FKCC_DISABLE:
+        # A leaked profiling env var must never become a silent safety
+        # kill-switch: every checker built while it is set reports colliding
+        # states valid.
+        import warnings
+
+        warnings.warn(
+            f"VAMP_FKCC_DISABLE={sorted(_FKCC_DISABLE)} — collision checking "
+            "is PARTIALLY DISABLED in this checker (profiling stub, "
+            "benchmarks/step_profile.py). Planners built now will accept "
+            "colliding states.",
+            stacklevel=2,
+        )
 
     def check(q, env: PackedEnvironment, base_rot=None, base_pos=None):
         batched = env.sphere_xyzr.ndim == 3

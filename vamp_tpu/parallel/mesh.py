@@ -41,7 +41,7 @@ def make_mesh(n_devices: Optional[int] = None, sp: int = 1) -> Mesh:
     return Mesh(arr, ("dp", "sp"))
 
 
-def _lane_axis_specs(tree_shapes, lane: int, axes, on_ambiguity: str = "raise"):
+def _lane_axis_specs(tree_shapes, lane: int, axes):
     """PartitionSpec pytree sharding, per leaf, the axis whose extent equals
     `lane` (the per-shard lane count); leaves without one replicate.
 
@@ -62,22 +62,12 @@ def _lane_axis_specs(tree_shapes, lane: int, axes, on_ambiguity: str = "raise"):
     def spec_of(path, shape):
         hits = [i for i, s in enumerate(shape.shape) if s == lane]
         if len(hits) > 1:
-            if on_ambiguity == "first":
-                # result pytrees put lanes on the leading axis by convention
-                # (RRTCResult/FCITResult are lane-major); warn and use it
-                import warnings
-
-                warnings.warn(
-                    f"ambiguous lane axis for result leaf "
-                    f"{jax.tree_util.keystr(path)} shape {shape.shape}; "
-                    f"using leading axis {hits[0]}"
-                )
-            else:
-                raise ValueError(
-                    f"ambiguous lane axis for leaf {jax.tree_util.keystr(path)} "
-                    f"shape {shape.shape}: axes {hits} all have extent {lane}; "
-                    "pass an explicit PartitionSpec via arg_specs"
-                )
+            raise ValueError(
+                f"ambiguous lane axis for leaf {jax.tree_util.keystr(path)} "
+                f"shape {shape.shape}: axes {hits} all have extent {lane}; "
+                "pass an explicit PartitionSpec (arg_specs / out_specs), or "
+                "give the result type a lane_partition_spec classmethod"
+            )
         if hits:
             return P(*((None,) * hits[0] + (axes,)))
         return P()
@@ -86,7 +76,8 @@ def _lane_axis_specs(tree_shapes, lane: int, axes, on_ambiguity: str = "raise"):
 
 
 def make_sharded_batch_solver(solve_batch_fn, mesh: Mesh, example_args=None,
-                              axes=("dp", "sp"), arg_specs=None):
+                              axes=("dp", "sp"), arg_specs=None,
+                              out_specs=None):
     """Shard a batch of problems over the mesh's problem axes (dp x sp).
 
     `arg_specs`: optional sequence aligned with `example_args`; each entry is
@@ -94,6 +85,13 @@ def make_sharded_batch_solver(solve_batch_fn, mesh: Mesh, example_args=None,
     pytree of PartitionSpecs used verbatim for that argument. Pass explicit
     specs for any argument whose leaves could have a non-lane axis equal to
     the lane count (e.g. a shared unbatched environment: `P()`).
+
+    `out_specs`: optional explicit PartitionSpec pytree for the result.
+    When omitted, a result type that declares `lane_partition_spec(axes)`
+    (RRTCResult / FCITResult / SimplifyResult / HaltonState) supplies its
+    specs; otherwise the lane axis is inferred per leaf by extent, which
+    RAISES on ambiguity (a leaf with two axes of lane extent) instead of
+    guessing — guessing mis-sharded e.g. tree_sizes (L, 2) at L == 2.
 
     `solve_batch_fn(starts (l,dim), goals, goal_masks, envs, samplers) ->
     result pytree` is any natively-batched solver
@@ -133,7 +131,12 @@ def make_sharded_batch_solver(solve_batch_fn, mesh: Mesh, example_args=None,
 
     abs_args = jax.tree.map(shrink, example_args)
     out_shapes = jax.eval_shape(solve_batch_fn, *abs_args)
-    res_spec = _lane_axis_specs(out_shapes, lane, both, on_ambiguity="first")
+    if out_specs is not None:
+        res_spec = out_specs
+    elif hasattr(type(out_shapes), "lane_partition_spec"):
+        res_spec = type(out_shapes).lane_partition_spec(both)
+    else:
+        res_spec = _lane_axis_specs(out_shapes, lane, both)
     in_spec = tuple(
         (
             arg_specs[i]
@@ -156,11 +159,14 @@ def make_sharded_batch_solver(solve_batch_fn, mesh: Mesh, example_args=None,
     )
     def solve_batch(*args):
         res = solve_batch_fn(*args)
-        # global best-cost argmin over all shards (solved problems only)
-        cost = jnp.where(res.solved, res.cost, jnp.float32(np.inf))
-        all_costs = jax.lax.all_gather(cost, both).reshape(-1)
-        best_idx = jnp.argmin(all_costs).astype(jnp.int32)
-        best = jnp.stack([all_costs[best_idx], best_idx.astype(jnp.float32)])
+        if hasattr(res, "solved") and hasattr(res, "cost"):
+            # global best-cost argmin over all shards (solved problems only)
+            cost = jnp.where(res.solved, res.cost, jnp.float32(np.inf))
+            all_costs = jax.lax.all_gather(cost, both).reshape(-1)
+            best_idx = jnp.argmin(all_costs).astype(jnp.int32)
+            best = jnp.stack([all_costs[best_idx], best_idx.astype(jnp.float32)])
+        else:  # result without the solved/cost surface: no collective
+            best = jnp.asarray([np.inf, -1.0], jnp.float32)
         return res, best
 
     return solve_batch

@@ -19,11 +19,13 @@ machinery of planners/rrtc.py, with the cost augmentation:
   along the chain.
 
 Deliberate deviations (documented):
-- the reference's optional parent cost-resampling loop (cost_bound_resample,
-  aorrtc.hh:238-305) re-queries the tree an unbounded number of times per
-  insertion; it is not yet implemented here (treated as disabled) — the
-  planner remains asymptotically optimal without it, it only affects
-  per-sample parent quality;
+- the reference's parent cost-resampling loop (cost_bound_resample,
+  aorrtc.hh:238-305) re-queries the tree an UNBOUNDED number of times per
+  insertion; here it is implemented as a bounded number of batched re-parent
+  rounds (`cost_bound_resample` below, default on, round count from
+  AORRTCSettings.cost_bound_resample_rounds — the reference loop typically
+  exits within a couple of rounds via its same-parent / no-improvement /
+  invalid-edge checks);
 - the scalar uniforms (cost bound, PHS radius) come from a per-lane
   counter-based jax.random stream instead of the RNG's embedded mt19937
   (random/distribution.hh) — the reference's stream is not reproducible

@@ -65,6 +65,17 @@ class FCITResult:
     # (L, R_max), inf where unsolved / round not executed.
     cost_trace: jnp.ndarray
 
+    @classmethod
+    def lane_partition_spec(cls, axes):
+        """Declared lane axis per field (lane-major result convention), for
+        parallel.mesh.make_sharded_batch_solver."""
+        from jax.sharding import PartitionSpec as P
+
+        lane = P(axes)
+        return cls(path=lane, path_length=lane, cost=lane, iterations=lane,
+                   solved=lane, graph_size=lane, cost_trace=lane,
+                   sampler=HaltonState.lane_partition_spec(axes))
+
 
 def make_fcit_batch(
     spec: RobotSpec,

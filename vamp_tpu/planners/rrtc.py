@@ -73,6 +73,18 @@ class RRTCResult:
     tree_sizes: jnp.ndarray  # (L, 2) i32 (start, goal)
     sampler: HaltonState  # advanced sampler states (dim, L)
 
+    @classmethod
+    def lane_partition_spec(cls, axes):
+        """Declared lane axis per field (lane-major result convention), for
+        parallel.mesh.make_sharded_batch_solver — replaces extent-guessing,
+        which mis-sharded tree_sizes (L, 2) whenever L == 2."""
+        from jax.sharding import PartitionSpec as P
+
+        lane = P(axes)
+        return cls(path=lane, path_length=lane, cost=lane, iterations=lane,
+                   solved=lane, tree_sizes=lane,
+                   sampler=HaltonState.lane_partition_spec(axes))
+
 
 def _tile_states(max_dist: float, resolution: int) -> int:
     n_max = max(int(np.ceil(max_dist * resolution / RAKE)), 1)

@@ -98,9 +98,8 @@ def make_rrtc_turbo_batch(
         hier = _os.environ.get("VAMP_TURBO_HIER", "0") == "1"
     # jnp.sin/cos instead of the reference's 16-op polynomial: one XLA op
     # each, more accurate; op count is what's priced on the target device.
-    fkcc = make_fkcc_planner(
-        spec, native_trig=_os.environ.get("VAMP_TURBO_NATIVE_TRIG", "1") == "1"
-    )
+    # Explicit settings field (not ambient env state) — see RRTCSettings.
+    fkcc = make_fkcc_planner(spec, native_trig=settings.native_trig)
     dim = spec.dimension
     res = spec.resolution
     N = settings.max_samples

@@ -47,6 +47,15 @@ class SimplifyResult:
     cost: jnp.ndarray  # (L,) f32
     iterations: jnp.ndarray  # (L,) i32
 
+    @classmethod
+    def lane_partition_spec(cls, axes):
+        """Declared lane axis per field (lane-major result convention), for
+        parallel.mesh.make_sharded_batch_solver."""
+        from jax.sharding import PartitionSpec as P
+
+        lane = P(axes)
+        return cls(path=lane, path_length=lane, cost=lane, iterations=lane)
+
 
 def _path_cost(path, lengths):
     deltas = jnp.linalg.norm(path[:, 1:] - path[:, :-1], axis=2)

@@ -40,6 +40,16 @@ class HaltonState:
     d: jnp.ndarray  # (dim, *batch) denominators
     iterations: jnp.ndarray  # (*batch,) int32
 
+    @classmethod
+    def lane_partition_spec(cls, axes):
+        """Declared problem-lane axis per field, for mesh sharding (consumed
+        by parallel.mesh.make_sharded_batch_solver): batch-minor state arrays
+        carry lanes LAST; guessing by extent would break whenever dim == L."""
+        from jax.sharding import PartitionSpec as P
+
+        return cls(b=P(None, axes), n=P(None, axes), d=P(None, axes),
+                   iterations=P(axes))
+
 
 def halton_init(dim: int, bases=None) -> HaltonState:
     if bases is None:

@@ -25,6 +25,14 @@ class RRTCSettings:
     max_iterations: int = 100_000
     max_samples: int = 100_000
     start_tree_first: bool = True
+    # TPU-build field (no reference equivalent): validate edges with native
+    # jnp.sin/cos (one XLA op each, more accurate) instead of the reference's
+    # 16-op polynomial approximation (interface.hh:442-469). Documented
+    # deviation: validity can flip for sub-resolution grazing contacts
+    # (crosscheck artifact: 4/188 simplified paths, all within the
+    # resolution-32 contract). Set False for polynomial-trig parity with
+    # simplify/validate and the reference.
+    native_trig: bool = True
 
 
 @dataclass(frozen=True)
