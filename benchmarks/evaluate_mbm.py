@@ -115,15 +115,20 @@ def evaluate(
     problems = load_problems(robot, sets)
     n_total = len(problems)
 
-    # -- pack every problem env at the suite's exact shape capacities -------
-    # (padding slots burn real VPU flops in the unrolled kernels: exact caps,
-    # quantum 1, not the default round-to-8)
-    starts, goals = [], []
-    for p in problems:
-        starts.append(np.asarray(p["start"], np.float32))
-        goals.append(np.asarray(p["goals"][0], np.float32))
-    starts = np.stack(starts)
-    goals = np.stack(goals)
+    # -- full multi-goal workload (reference evaluate_mbm.py:98 passes the
+    # whole goal list; rrtc.hh:90-97 seeds the goal tree with every goal).
+    # Goals pad to the suite max and mask off; cost semantics match the
+    # reference: the reported cost is to whichever goal the connect reached
+    # (in today's MBM pickles every problem has exactly one goal, so G_max=1
+    # and the numbers are unchanged — but the harness no longer drops goals).
+    starts = np.stack([np.asarray(p["start"], np.float32) for p in problems])
+    G_max = max(len(p["goals"]) for p in problems)
+    goals = np.zeros((n_total, G_max, dim), np.float32)
+    gmask = np.zeros((n_total, G_max), bool)
+    for k, p in enumerate(problems):
+        for g, q in enumerate(p["goals"]):
+            goals[k, g] = np.asarray(q, np.float32)
+            gmask[k, g] = True
 
     if pointcloud:
         # CAPT mode (reference scripts/evaluate_mbm.py:54-59 + 77-85):
@@ -166,9 +171,18 @@ def evaluate(
 
     fkccp = jax.jit(make_fkcc_planner(spec))
     sv = np.asarray(fkccp(jnp.asarray(starts.T)[:, None, :], envs_all, None, None))[0]
-    gv = np.asarray(fkccp(jnp.asarray(goals.T)[:, None, :], envs_all, None, None))[0]
-    in_limits = lambda q: np.all((q >= spec.lower) & (q <= spec.upper), axis=1)
-    valid = sv & gv & in_limits(starts) & in_limits(goals)
+    # per-goal validity (batch-minor (dim, G, n) against each problem's env)
+    gv = np.asarray(
+        fkccp(jnp.asarray(goals.transpose(2, 1, 0)), envs_all, None, None)
+    ).T  # (n, G)
+    in_limits = lambda q: np.all(
+        (q >= spec.lower) & (q <= spec.upper), axis=-1
+    )
+    goal_ok = gv & in_limits(goals) & gmask  # (n, G)
+    valid = sv & in_limits(starts) & goal_ok.any(axis=1)
+    # gmask stays the RAW goal list: the reference seeds every goal into the
+    # goal tree unconditionally (rrtc.hh:90-97) — a colliding goal can never
+    # be connected (the connect edge validates its endpoint), it just sits.
     n_valid = int(valid.sum())
 
     make_solver = make_rrtc_turbo_batch if turbo else make_rrtc_batch
@@ -213,8 +227,11 @@ def evaluate(
                 max_iterations=max_iter,
                 max_samples=max_samp,
             )
+            # straight-line early-exit only in the very first wave: later
+            # waves hold survivors that already failed it (turbo-only knob)
+            kw = {"line_check": wave == 0 and rep == 0} if turbo else {}
             solve = jax.jit(
-                make_solver(spec, settings, n_goals=1, max_path=path_caps)
+                make_solver(spec, settings, n_goals=G_max, max_path=path_caps, **kw)
             )
             if pointcloud:
                 envs_w = jax.tree.map(lambda x: x[idx], envs_all)
@@ -241,8 +258,8 @@ def evaluate(
                 )
             args = (
                 jnp.asarray(starts[idx]),
-                jnp.asarray(goals[idx])[:, None, :],
-                jnp.asarray(lane_live)[:, None],
+                jnp.asarray(goals[idx]),  # (L, G_max, dim), full goal lists
+                jnp.asarray(gmask[idx] & lane_live[:, None]),
                 envs_w,
                 racing_samplers(dim, L, replica),
             )
@@ -326,6 +343,10 @@ def evaluate(
     stats = {
         "robot": robot,
         "total": n_total,
+        "n_goals_max": G_max,
+        # Reference multi-goal semantics (evaluate_mbm.py:98, rrtc.hh:90-97):
+        # every goal seeds the goal tree; reported cost is to whichever goal
+        # the connect reached.
         "valid": n_valid,
         "solved": int(solved.sum()),
         "success_rate": float(solved.sum() / max(n_valid, 1)),

@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def run(steps: int, lanes, slots: int, disable: str):
+def run(steps: int, lanes, slots: int, disable: str, reps: int = 1):
     os.environ["VAMP_TURBO_FIXED_STEPS"] = str(steps)
     if disable:
         os.environ["VAMP_TURBO_DISABLE"] = disable
@@ -66,9 +66,18 @@ def run(steps: int, lanes, slots: int, disable: str):
             racing_samplers(spec.dimension, L, np.arange(L)),
         )
         np.asarray(solve(*args).iterations)  # compile+warm
-        t0 = time.perf_counter()
-        np.asarray(solve(*args).iterations)
-        dt = time.perf_counter() - t0
+        # timed calls take DIFFERENT sampler data per rep (same shapes):
+        # identical args can be served from the relay's backend cache and
+        # measure dispatch only (memory: axon-tpu-measurement-pitfalls).
+        # min over reps suppresses relay timing noise (observed ~+-30us/step).
+        dt = np.inf
+        for rep in range(reps):
+            args2 = args[:4] + (
+                racing_samplers(spec.dimension, L, np.arange(L) + 7 + 13 * rep),
+            )
+            t0 = time.perf_counter()
+            np.asarray(solve(*args2).iterations)
+            dt = min(dt, time.perf_counter() - t0)
         per_step = dt / steps * 1e6
         results.append((L, slots, steps, dt, per_step))
         print(
@@ -85,5 +94,17 @@ if __name__ == "__main__":
     ap.add_argument("--lanes", type=int, nargs="*", default=[64, 128, 256, 704])
     ap.add_argument("--slots", type=int, default=2048)
     ap.add_argument("--disable", default="")
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--json", default="", help="append one JSON line per row")
     args = ap.parse_args()
-    run(args.steps, args.lanes, args.slots, args.disable)
+    rows = run(args.steps, args.lanes, args.slots, args.disable, args.reps)
+    if args.json:
+        import json
+
+        with open(args.json, "a") as f:
+            for (L, slots, steps, dt, per_step) in rows:
+                f.write(json.dumps(dict(
+                    L=L, slots=slots, steps=steps, wall_s=round(dt, 4),
+                    per_step_us=round(per_step, 1), disable=args.disable,
+                    fkcc_disable=os.environ.get("VAMP_FKCC_DISABLE", ""),
+                )) + "\n")

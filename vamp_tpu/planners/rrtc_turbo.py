@@ -19,11 +19,19 @@ changes, each motivated by measurement on TPU v5e (see benchmarks/):
    path geometry, fewer nodes). A step therefore completes a whole
    extend+connect iteration in the common case, instead of 2-4 steps.
 
-3. **Slot capacity ~ budget.** Tree buffers are sized to the wave's iteration
-   budget (two slots are consumed per step — fixed allocation keeps tree
-   updates to one contiguous write per buffer), so NN sweep cost tracks the
-   budget instead of a static worst case. Callers should size
+3. **Slot capacity ~ budget, staged.** Tree buffers are sized to the wave's
+   iteration budget (two slots are consumed per step — fixed allocation keeps
+   tree updates to one contiguous write per buffer), so NN sweep cost tracks
+   the budget instead of a static worst case. Callers should size
    `max_samples >= ~2.6x` the iteration budget (steps ~ 1.3x iterations).
+   For large budgets the solve additionally runs as a sequence of
+   geometrically growing capacities inside ONE jit program (N/8 -> N/4 ->
+   N/2 -> N): each stage is its own while_loop whose buffers are exactly as
+   big as the slots consumed so far, so early steps pay NN/insert/radii cost
+   proportional to the LIVE tree, not the final capacity (the "segmented NN
+   sweep" lever; cuts the N-proportional step terms ~33% integrated over a
+   budget-exhausting run). Between stages the buffers pad with sentinel
+   rows — tree state is identical, so the trajectory is unchanged.
 
 4. **Phase-latency-aware step.** On the axon TPU relay every *serialized*
    dependency phase inside the loop body (NN gather -> dependent gather ->
@@ -83,6 +91,7 @@ def make_rrtc_turbo_batch(
     max_path: int = 256,
     connect_segs: int = 1,
     hier: Optional[bool] = None,
+    line_check: bool = True,
 ):
     """Build `solve_batch(starts (L,dim), goals (L,G,dim), goal_mask (L,G),
     envs, samplers?, base_rot?, base_pos?, group_id?) -> RRTCResult`.
@@ -93,9 +102,12 @@ def make_rrtc_turbo_batch(
     + compacted fine checker (ops/fkcc_hier) for edge validation — boolean-
     identical to dense except compaction overflow, which conservatively
     rejects the edge (it auto-falls back to dense for env features the
-    hierarchy does not cover)."""
+    hierarchy does not cover). `line_check=False` skips the straight-line
+    early exit (for wave harnesses whose lanes are survivors of an earlier
+    wave — they already failed it)."""
     if hier is None:
         hier = _os.environ.get("VAMP_TURBO_HIER", "0") == "1"
+    stage_thresh = int(_os.environ.get("VAMP_TURBO_STAGE_MIN", "2048"))
     # jnp.sin/cos instead of the reference's 16-op polynomial: one XLA op
     # each, more accurate; op count is what's priced on the target device.
     # Explicit settings field (not ambient env state) — see RRTCSettings.
@@ -105,6 +117,13 @@ def make_rrtc_turbo_batch(
     N = settings.max_samples
     K = connect_segs
     rng_range = jnp.float32(settings.range)
+
+    # Staged slot capacities (docstring item 3). Profiling with a fixed step
+    # count keeps a single stage so step cost is measured at one capacity.
+    if N >= stage_thresh and not _FIXED_STEPS:
+        stage_caps = sorted({-(-N // 8), -(-N // 4), -(-N // 2), N})
+    else:
+        stage_caps = [N]
 
     diam = float(np.linalg.norm(spec.range))
     T_edge = _tile_states(min(settings.range, diam), res)
@@ -176,20 +195,28 @@ def make_rrtc_turbo_batch(
             return seg[group_id]
 
         # -- straight-line early exit (rrtc.hh:61-74) -----------------------
-        line_vecs = goals - starts[:, None, :]
-        line_dists = jnp.linalg.norm(line_vecs, axis=2)
-        lv = line_vecs.transpose(2, 0, 1).reshape(dim, L * G)
-        ls = jnp.broadcast_to(starts.T[:, :, None], (dim, L, G)).reshape(dim, L * G)
-        if envs.sphere_xyzr.ndim == 3 and G > 1:
-            envs_rep = jax.tree.map(lambda x: jnp.repeat(x, G, axis=0), envs)
+        # `line_check=False` skips it: wave harnesses re-batch SURVIVORS of an
+        # earlier wave, which by definition already failed this exact check —
+        # re-validating diam*resolution states per lane every wave is pure
+        # waste (the T_line tile is ~7 step-equivalents of fkcc).
+        if line_check:
+            line_vecs = goals - starts[:, None, :]
+            line_dists = jnp.linalg.norm(line_vecs, axis=2)
+            lv = line_vecs.transpose(2, 0, 1).reshape(dim, L * G)
+            ls = jnp.broadcast_to(starts.T[:, :, None], (dim, L, G)).reshape(dim, L * G)
+            if envs.sphere_xyzr.ndim == 3 and G > 1:
+                envs_rep = jax.tree.map(lambda x: jnp.repeat(x, G, axis=0), envs)
+            else:
+                envs_rep = envs
+            line_ok = validate_line(
+                ls, lv, line_dists.reshape(-1), envs_rep, br, bp
+            ).reshape(L, G)
+            line_valid = line_ok & goal_mask
+            any_line = jnp.any(line_valid, axis=1)
+            first_goal = jnp.argmax(line_valid, axis=1)
         else:
-            envs_rep = envs
-        line_ok = validate_line(
-            ls, lv, line_dists.reshape(-1), envs_rep, br, bp
-        ).reshape(L, G)
-        line_valid = line_ok & goal_mask
-        any_line = jnp.any(line_valid, axis=1)
-        first_goal = jnp.argmax(line_valid, axis=1)
+            any_line = jnp.zeros((L,), bool)
+            first_goal = jnp.zeros((L,), jnp.int32)
         # Lanes with no live goal can never connect: done from the start
         # (otherwise padding lanes run every wave to its full budget).
         dead = ~jnp.any(goal_mask, axis=1)
@@ -197,22 +224,23 @@ def make_rrtc_turbo_batch(
         # -- tree buffers ---------------------------------------------------
         # Slot 0 = start, slots 1..G = goals. Tree membership + live mask are
         # folded into the squared-norm arrays (BIG = not in this tree).
-        states = jnp.zeros((dim, N, L), jnp.float32)
+        # Buffers start at the first stage capacity and grow between stages.
+        N0 = stage_caps[0]
+        states = jnp.zeros((dim, N0, L), jnp.float32)
         states = lax.dynamic_update_slice(states, starts.T[:, None, :], (0, 0, 0))
         states = lax.dynamic_update_slice(states, goals.transpose(2, 1, 0), (0, 1, 0))
 
         start_sq = jnp.sum(starts * starts, axis=1)  # (L,)
         goal_sq = jnp.sum(goals * goals, axis=2)  # (L, G)
-        s2a = jnp.full((N, L), BIG)
+        s2a = jnp.full((N0, L), BIG)
         s2a = lax.dynamic_update_slice(s2a, start_sq[None, :], (0, 0))
-        s2b = jnp.full((N, L), BIG)
+        s2b = jnp.full((N0, L), BIG)
         s2b = lax.dynamic_update_slice(
             s2b, jnp.where(goal_mask, goal_sq, BIG).T, (1, 0)
         )
 
-        parents = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, L))
-        radii = jnp.full((N, L), INF)
-        iota_N = jnp.arange(N, dtype=jnp.int32)[:, None]
+        parents = jnp.broadcast_to(jnp.arange(N0, dtype=jnp.int32)[:, None], (N0, L))
+        radii = jnp.full((N0, L), INF)
 
         carry = dict(
             states=states,
@@ -246,10 +274,13 @@ def make_rrtc_turbo_batch(
             budget = (c["iter"] < settings.max_iterations) | (c["mode"] == CONNECT)
             return budget & (~c["done"])
 
-        def cond(c):
-            if _FIXED_STEPS:
-                return c["step"] < _FIXED_STEPS
-            return jnp.any(running(c)) & (c["slot"] < N - 1)
+        def make_cond(cap):
+            def cond(c):
+                if _FIXED_STEPS:
+                    return c["step"] < _FIXED_STEPS
+                return jnp.any(running(c)) & (c["slot"] < cap - 1)
+
+            return cond
 
         def fetch_cfg(states, idx):
             """(L,) slot ids -> (dim, L) configurations, gathered per lane
@@ -429,6 +460,7 @@ def make_rrtc_turbo_batch(
             # costs a serialized host-sync phase on the axon relay, far more
             # than the (N, L) elementwise where it saves.
             if "radii" not in _DISABLE:
+                iota_N = jnp.arange(radii.shape[0], dtype=jnp.int32)[:, None]
                 oh_near = iota_N == near_idx[None, :]
                 radii = jnp.where(
                     oh_near & (grow | shrink)[None, :], r_new[None, :], radii
@@ -541,7 +573,37 @@ def make_rrtc_turbo_batch(
                 tail_b=tail_b,
             )
 
-        out = lax.while_loop(cond, body, carry)
+        def grow(c, cap):
+            """Pad tree buffers to `cap` slots with vacant-sentinel rows (BIG
+            norms, self-parents, INF radii): identical tree state, larger
+            capacity — the solve trajectory is unchanged by staging."""
+            n_old = c["s2a"].shape[0]
+            pad = cap - n_old
+            c = dict(c)
+            c["states"] = jnp.concatenate(
+                [c["states"], jnp.zeros((dim, pad, L), jnp.float32)], axis=1
+            )
+            c["s2a"] = jnp.concatenate([c["s2a"], jnp.full((pad, L), BIG)], axis=0)
+            c["s2b"] = jnp.concatenate([c["s2b"], jnp.full((pad, L), BIG)], axis=0)
+            c["parents"] = jnp.concatenate(
+                [
+                    c["parents"],
+                    jnp.broadcast_to(
+                        jnp.arange(n_old, cap, dtype=jnp.int32)[:, None], (pad, L)
+                    ),
+                ],
+                axis=0,
+            )
+            c["radii"] = jnp.concatenate(
+                [c["radii"], jnp.full((pad, L), INF)], axis=0
+            )
+            return c
+
+        out = carry
+        for cap in stage_caps:
+            if out["s2a"].shape[0] < cap:
+                out = grow(out, cap)
+            out = lax.while_loop(make_cond(cap), body, out)
 
         # -- path recovery --------------------------------------------------
         # tail_a is the junction node in tree_a; tail_b the connect target in
