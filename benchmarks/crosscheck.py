@@ -64,14 +64,10 @@ def main():
     rng = np.random.default_rng(7)
     picks = rng.choice(len(problems), size=args.n, replace=False)
 
-    caps = {"spheres": 0, "capsules": 0, "cuboids": 0}
-    envs = []
-    for pi in picks:
-        e = vamp.problem_dict_to_vamp(problems[pi])
-        envs.append(e)
-        caps["spheres"] = max(caps["spheres"], len(e.spheres))
-        caps["capsules"] = max(caps["capsules"], len(e.capsules))
-        caps["cuboids"] = max(caps["cuboids"], len(e.cuboids))
+    from vamp_tpu.env import max_class_counts
+
+    envs = [vamp.problem_dict_to_vamp(problems[pi]) for pi in picks]
+    caps = max_class_counts(envs)
     packed = [e.pack(quantum=1, capacities=caps) for e in envs]
     envs_all = jax.tree.map(lambda *xs: jnp.stack(xs), *packed)
 

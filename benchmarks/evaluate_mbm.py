@@ -156,13 +156,10 @@ def evaluate(
             e.pointclouds = [pad_capt(e.pointclouds[0], nlog2, max_aff)]
             envs_list.append(e.pack(quantum=1))
     else:
-        caps = {"spheres": 0, "capsules": 0, "cuboids": 0}
-        for p in problems:
-            e = vamp.problem_dict_to_vamp(p)
-            caps["spheres"] = max(caps["spheres"], len(e.spheres))
-            caps["capsules"] = max(caps["capsules"], len(e.capsules))
-            caps["cuboids"] = max(caps["cuboids"], len(e.cuboids))
+        from vamp_tpu.env import max_class_counts
+
         env_objs = [vamp.problem_dict_to_vamp(p) for p in problems]
+        caps = max_class_counts(env_objs)  # incl. z-aligned fast-path classes
         envs_list = [e.pack(quantum=1, capacities=caps) for e in env_objs]
     envs_all = jax.tree.map(lambda *xs: jnp.stack(xs), *envs_list)
 
@@ -240,12 +237,9 @@ def evaluate(
                 # pad the median problem's 12 live shapes with dead slots
                 # that still cost full env-sweep work; survivors repack at
                 # exactly this wave's maxima
-                wcaps = {"spheres": 0, "capsules": 0, "cuboids": 0}
-                for i in pending:
-                    e = env_objs[i]
-                    wcaps["spheres"] = max(wcaps["spheres"], len(e.spheres))
-                    wcaps["capsules"] = max(wcaps["capsules"], len(e.capsules))
-                    wcaps["cuboids"] = max(wcaps["cuboids"], len(e.cuboids))
+                from vamp_tpu.env import max_class_counts
+
+                wcaps = max_class_counts([env_objs[i] for i in pending])
                 packed_w = {
                     int(i): env_objs[i].pack(quantum=1, capacities=wcaps)
                     for i in pending

@@ -45,12 +45,9 @@ def main():
     module = vamp.robot_module("panda")
     spec = module.spec
     problems = load_problems("panda")
-    caps = {"spheres": 0, "capsules": 0, "cuboids": 0}
-    for p in problems:
-        e = vamp.problem_dict_to_vamp(p)
-        caps["spheres"] = max(caps["spheres"], len(e.spheres))
-        caps["capsules"] = max(caps["capsules"], len(e.capsules))
-        caps["cuboids"] = max(caps["cuboids"], len(e.cuboids))
+    from vamp_tpu.env import max_class_counts
+
+    caps = max_class_counts([vamp.problem_dict_to_vamp(p) for p in problems])
     envs_list = [
         vamp.problem_dict_to_vamp(p).pack(quantum=1, capacities=caps)
         for p in problems

@@ -72,7 +72,11 @@ def main():
     floor_us = float(np.median(floors) * 1e6)
 
     settings = RRTCSettings(range=1.0, max_iterations=512, max_samples=1408)
-    caps = {"spheres": 0, "capsules": 10, "cuboids": 11}
+    from vamp_tpu.env import max_class_counts
+
+    caps = max_class_counts(
+        [vamp.problem_dict_to_vamp(problems[pi]) for pi in picks]
+    )
 
     def run_mode(L):
         solve = jax.jit(make_rrtc_turbo_batch(spec, settings, 1, 256))

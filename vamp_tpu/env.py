@@ -28,7 +28,7 @@ from .ops.math import rpy_to_matrix_np
 
 
 def _round_capacity(n: int, quantum: int = 8) -> int:
-    return max(quantum, -(-n // quantum) * quantum)
+    return 0 if n == 0 else max(quantum, -(-n // quantum) * quantum)
 
 
 # ---------------------------------------------------------------------------
@@ -180,6 +180,20 @@ class PackedEnvironment:
     cloud_mask: jnp.ndarray = field(default_factory=lambda: jnp.zeros((0,), bool))
     # CAPT pointcloud trees (ops/capt.py); tuple of CAPT pytrees
     capts: tuple = ()
+    # Z-aligned specializations (reference environment.hh keeps separate
+    # z_aligned_capsules / z_aligned_cuboids lists and validity.hh routes
+    # them to cheaper kernels — sphere_capsule.hh:26-44, sphere_cuboid.hh
+    # z-case). pack() auto-classifies; in MBM every capsule and 98% of
+    # cuboids are z-aligned, so the cheap paths carry nearly the whole env
+    # sweep (~35%/29% fewer large ops per obstacle).
+    zcap_p1: jnp.ndarray = field(default_factory=lambda: jnp.zeros((0, 3), jnp.float32))  # bottom endpoint
+    zcap_h: jnp.ndarray = field(default_factory=lambda: jnp.zeros((0,), jnp.float32))  # +z axis length
+    zcap_r: jnp.ndarray = field(default_factory=lambda: jnp.zeros((0,), jnp.float32))
+    zcap_mask: jnp.ndarray = field(default_factory=lambda: jnp.zeros((0,), bool))
+    zcub_center: jnp.ndarray = field(default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
+    zcub_axis: jnp.ndarray = field(default_factory=lambda: jnp.zeros((0, 2), jnp.float32))  # in-plane x-axis (c, s)
+    zcub_half: jnp.ndarray = field(default_factory=lambda: jnp.zeros((0, 3), jnp.float32))  # (h_ax, h_perp, h_z)
+    zcub_mask: jnp.ndarray = field(default_factory=lambda: jnp.zeros((0,), bool))
 
     @property
     def has_attachments(self) -> bool:
@@ -188,6 +202,38 @@ class PackedEnvironment:
 
 
 FAR = 1.0e6  # padded shapes live far away with tiny radius
+
+_Z_TOL = 1e-6  # relative tolerance for z-alignment classification
+
+
+def _classify_capsule(c):
+    """(bottom_p1, height, radius) when the capsule axis is +-z, else None."""
+    v = np.asarray(c.xv, np.float64)
+    n = float(np.linalg.norm(v))
+    if n > 0 and abs(v[0]) <= _Z_TOL * n and abs(v[1]) <= _Z_TOL * n:
+        p1 = np.asarray(c.x1, np.float64)
+        if v[2] >= 0:
+            return p1.astype(np.float32), float(v[2]), float(c.radius)
+        return (p1 + v).astype(np.float32), float(-v[2]), float(c.radius)
+    return None
+
+
+def _classify_cuboid(c):
+    """(center, in-plane x-axis (c,s), (h_ax, h_perp, h_z)) when one box axis
+    is +-z (free in-plane rotation), else None."""
+    A = np.asarray(c.axes, np.float64)
+    h = np.asarray(c.half_extents, np.float64)
+    for r in range(3):
+        if abs(abs(A[r, 2]) - 1.0) <= _Z_TOL:
+            others = [i for i in range(3) if i != r]
+            if all(abs(A[i, 2]) <= _Z_TOL for i in others):
+                i, j = others
+                return (
+                    np.asarray(c.center, np.float32),
+                    A[i, :2].astype(np.float32),
+                    np.asarray([h[i], h[j], h[r]], np.float32),
+                )
+    return None
 
 
 class Environment:
@@ -247,15 +293,40 @@ class Environment:
         collision/environment.hh:40-66) has no TPU equivalent — the packed
         kernel mask-reduces over every shape."""
 
+    def class_counts(self) -> dict:
+        """Per-class slot counts this environment will pack into (z-aligned
+        capsules/cuboids split into their cheap-kernel lists) — use for
+        computing shared `capacities` when stacking many environments."""
+        zc = sum(_classify_capsule(c) is not None for c in self.capsules)
+        zb = sum(_classify_cuboid(c) is not None for c in self.cuboids)
+        return {
+            "spheres": len(self.spheres),
+            "capsules": len(self.capsules) - zc,
+            "z_capsules": zc,
+            "cuboids": len(self.cuboids) - zb,
+            "z_cuboids": zb,
+        }
+
     # -- packing -----------------------------------------------------------
     def pack(self, quantum: int = 8, capacities: Optional[dict] = None) -> PackedEnvironment:
         """Pack to a static-capacity pytree. `capacities` (keys: spheres,
-        capsules, cuboids) forces minimum slot counts so environments of
-        different sizes stack into one lane-batched pytree."""
+        capsules, z_capsules, cuboids, z_cuboids) forces minimum slot counts
+        so environments of different sizes stack into one lane-batched
+        pytree. Z-aligned capsules/cuboids are auto-routed to their cheap
+        specialized lists (reference environment.hh z_aligned_* lists)."""
         caps = capacities or {}
+        zcaps, gcaps, zcubs, gcubs = [], [], [], []
+        for c in self.capsules:
+            z = _classify_capsule(c)
+            (zcaps if z is not None else gcaps).append((c, z))
+        for c in self.cuboids:
+            z = _classify_cuboid(c)
+            (zcubs if z is not None else gcubs).append((c, z))
         ns = max(_round_capacity(len(self.spheres), quantum), caps.get("spheres", 0))
-        nc = max(_round_capacity(len(self.capsules), quantum), caps.get("capsules", 0))
-        nb = max(_round_capacity(len(self.cuboids), quantum), caps.get("cuboids", 0))
+        nc = max(_round_capacity(len(gcaps), quantum), caps.get("capsules", 0))
+        nb = max(_round_capacity(len(gcubs), quantum), caps.get("cuboids", 0))
+        nzc = max(_round_capacity(len(zcaps), quantum), caps.get("z_capsules", 0))
+        nzb = max(_round_capacity(len(zcubs), quantum), caps.get("z_cuboids", 0))
 
         sphere_xyzr = np.full((ns, 4), FAR, np.float32)
         sphere_xyzr[:, 3] = 0.0
@@ -271,22 +342,43 @@ class Environment:
         capsule_r = np.zeros(nc, np.float32)
         capsule_rdv = np.ones(nc, np.float32)
         capsule_mask = np.zeros(nc, bool)
-        for i, c in enumerate(self.capsules):
+        for i, (c, _) in enumerate(gcaps):
             capsule_p1[i] = c.x1
             capsule_v[i] = c.xv
             capsule_r[i] = c.radius
             capsule_rdv[i] = 1.0 / max(float(np.dot(c.xv, c.xv)), 1e-12)
             capsule_mask[i] = True
 
+        zcap_p1 = np.full((nzc, 3), FAR, np.float32)
+        zcap_h = np.ones(nzc, np.float32)
+        zcap_r = np.zeros(nzc, np.float32)
+        zcap_mask = np.zeros(nzc, bool)
+        for i, (_, (p1, h, r)) in enumerate(zcaps):
+            zcap_p1[i] = p1
+            zcap_h[i] = h
+            zcap_r[i] = r
+            zcap_mask[i] = True
+
         cuboid_center = np.full((nb, 3), FAR, np.float32)
         cuboid_axes = np.tile(np.eye(3, dtype=np.float32), (nb, 1, 1))
         cuboid_half = np.zeros((nb, 3), np.float32)
         cuboid_mask = np.zeros(nb, bool)
-        for i, c in enumerate(self.cuboids):
+        for i, (c, _) in enumerate(gcubs):
             cuboid_center[i] = c.center
             cuboid_axes[i] = c.axes
             cuboid_half[i] = c.half_extents
             cuboid_mask[i] = True
+
+        zcub_center = np.full((nzb, 3), FAR, np.float32)
+        zcub_axis = np.zeros((nzb, 2), np.float32)
+        zcub_axis[:, 0] = 1.0
+        zcub_half = np.zeros((nzb, 3), np.float32)
+        zcub_mask = np.zeros(nzb, bool)
+        for i, (_, (ctr, ax, hh)) in enumerate(zcubs):
+            zcub_center[i] = ctr
+            zcub_axis[i] = ax
+            zcub_half[i] = hh
+            zcub_mask[i] = True
 
         nh = len(self.heightfields)
         if nh:
@@ -355,8 +447,26 @@ class Environment:
             cloud_xyzr=jnp.asarray(cloud_xyzr),
             cloud_mask=jnp.asarray(cloud_mask),
             capts=tuple(self.pointclouds),
+            zcap_p1=jnp.asarray(zcap_p1),
+            zcap_h=jnp.asarray(zcap_h),
+            zcap_r=jnp.asarray(zcap_r),
+            zcap_mask=jnp.asarray(zcap_mask),
+            zcub_center=jnp.asarray(zcub_center),
+            zcub_axis=jnp.asarray(zcub_axis),
+            zcub_half=jnp.asarray(zcub_half),
+            zcub_mask=jnp.asarray(zcub_mask),
         )
 
 
 def empty_packed_environment() -> PackedEnvironment:
     return Environment().pack()
+
+
+def max_class_counts(envs) -> dict:
+    """Shared per-class capacities for stacking many environments into one
+    lane-batched pytree: elementwise max of each env's class_counts()."""
+    out: dict = {}
+    for e in envs:
+        for k, v in e.class_counts().items():
+            out[k] = max(out.get(k, 0), v)
+    return out

@@ -52,6 +52,38 @@ def spheres_vs_capsules(centers, radii, env: PackedEnvironment):
     return jnp.any(hit, axis=(-1, -2))
 
 
+def spheres_vs_zcapsules(centers, radii, env: PackedEnvironment):
+    """Z-aligned capsule fast path (reference sphere_capsule.hh:26-44; routed
+    at pack() like environment.cc:117-143): the closest-point clamp happens
+    on z alone."""
+    if not env.zcap_mask.shape[0]:
+        return jnp.zeros(centers.shape[:-2], bool)
+    d = centers[..., :, None, :2] - env.zcap_p1[None, :, :2]  # (..., S, N, 2)
+    sz = centers[..., :, None, 2] - env.zcap_p1[None, :, 2]
+    ez = sz - jnp.clip(sz, 0.0, env.zcap_h[None, :])
+    sq = jnp.sum(d * d, axis=-1) + ez * ez
+    rs = radii[..., :, None] + env.zcap_r[None, :]
+    hit = (sq - rs * rs < 0) & env.zcap_mask[None, :]
+    return jnp.any(hit, axis=(-1, -2))
+
+
+def spheres_vs_zcuboids(centers, radii, env: PackedEnvironment):
+    """Z-aligned cuboid fast path (reference sphere_cuboid.hh z-case): the
+    third box axis is +-z, in-plane rotation given by zcub_axis (c, s)."""
+    if not env.zcub_mask.shape[0]:
+        return jnp.zeros(centers.shape[:-2], bool)
+    d = centers[..., :, None, :] - env.zcub_center[None, :, :]  # (..., S, N, 3)
+    c, s = env.zcub_axis[None, :, 0], env.zcub_axis[None, :, 1]
+    px = d[..., 0] * c + d[..., 1] * s
+    py = d[..., 1] * c - d[..., 0] * s
+    e0 = jnp.maximum(jnp.abs(px) - env.zcub_half[None, :, 0], 0.0)
+    e1 = jnp.maximum(jnp.abs(py) - env.zcub_half[None, :, 1], 0.0)
+    e2 = jnp.maximum(jnp.abs(d[..., 2]) - env.zcub_half[None, :, 2], 0.0)
+    sq = e0 * e0 + e1 * e1 + e2 * e2
+    hit = (sq - radii[..., :, None] ** 2 < 0) & env.zcub_mask[None, :]
+    return jnp.any(hit, axis=(-1, -2))
+
+
 def spheres_vs_cuboids(centers, radii, env: PackedEnvironment):
     if not env.cuboid_mask.shape[0]:
         return jnp.zeros(centers.shape[:-2], bool)
@@ -125,7 +157,9 @@ def spheres_in_environment(centers, radii, env: PackedEnvironment):
     radii = jnp.broadcast_to(radii, centers.shape[:-1])
     hit = spheres_vs_spheres(centers, radii, env)
     hit = hit | spheres_vs_capsules(centers, radii, env)
+    hit = hit | spheres_vs_zcapsules(centers, radii, env)
     hit = hit | spheres_vs_cuboids(centers, radii, env)
+    hit = hit | spheres_vs_zcuboids(centers, radii, env)
     hit = hit | spheres_vs_heightfields(centers, radii, env)
     hit = hit | spheres_vs_cloud(centers, radii, env)
     hit = hit | spheres_vs_pointclouds(centers, radii, env)

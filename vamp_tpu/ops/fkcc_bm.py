@@ -302,6 +302,8 @@ def _env_hits_bm(xs, ys, zs, radii_col, env: PackedEnvironment, batched_env: boo
     n_spheres = env.sphere_mask.shape[-1]
     n_capsules = env.capsule_mask.shape[-1]
     n_cuboids = env.cuboid_mask.shape[-1]
+    n_zcaps = env.zcap_mask.shape[-1]
+    n_zcubs = env.zcub_mask.shape[-1]
 
     # |p|^2 plane shared by the sphere + capsule sweeps: folding the obstacle
     # constants (|c|^2, rs^2, the mask) into ONE per-obstacle comparison
@@ -344,6 +346,37 @@ def _env_hits_bm(xs, ys, zs, radii_col, env: PackedEnvironment, batched_env: boo
         dotp1 = xs * (p1x + p1x) + ys * (p1y + p1y) + zs * (p1z + p1z)
         lhs = P2 - dotp1 - (s + s - w) * w * rdv
         hit = hit | jnp.any(lhs < kk, axis=0)
+
+    # -- z-aligned specializations (reference sphere_capsule.hh:26-44,
+    # sphere_cuboid.hh z-case; routed at pack() like environment.cc:117-143).
+    # ~13 vs 20 (capsule) and ~25 vs 35 (cuboid) large ops per obstacle.
+    rc2 = radii_col * radii_col if (n_zcubs or n_cuboids) else None
+
+    for j in range(n_zcaps):
+        cx, cy, z1 = (p(env.zcap_p1, j, k) for k in range(3))
+        hj = p(env.zcap_h, j)
+        rr = radii_col + p(env.zcap_r, j)
+        kk = jnp.where(p(env.zcap_mask, j), rr * rr, NEG)
+        dx = xs - cx
+        dy = ys - cy
+        sz = zs - z1
+        ez = sz - jnp.clip(sz, 0.0, hj)
+        hit = hit | jnp.any(dx * dx + dy * dy + ez * ez < kk, axis=0)
+
+    for j in range(n_zcubs):
+        cx, cy, cz = (p(env.zcub_center, j, k) for k in range(3))
+        axc, axs = p(env.zcub_axis, j, 0), p(env.zcub_axis, j, 1)
+        h0, h1, h2 = (p(env.zcub_half, j, k) for k in range(3))
+        kk = jnp.where(p(env.zcub_mask, j), rc2, NEG)
+        # fold the center into per-axis constants (in-plane rotation (c,s))
+        k0 = cx * axc + cy * axs
+        k1 = cy * axc - cx * axs
+        px = xs * axc + (ys * axs - k0)
+        py = ys * axc - (xs * axs + k1)
+        e0 = jnp.maximum(jnp.abs(px) - h0, 0.0)
+        e1 = jnp.maximum(jnp.abs(py) - h1, 0.0)
+        e2 = jnp.maximum(jnp.abs(zs - cz) - h2, 0.0)
+        hit = hit | jnp.any(e0 * e0 + e1 * e1 + e2 * e2 < kk, axis=0)
 
     for j in range(n_cuboids):
         dx = xs - p(env.cuboid_center, j, 0)

@@ -50,6 +50,10 @@ from ..utils.settings import RoadmapSettings
 INF = jnp.float32(np.inf)
 UNKNOWN, VALID, INVALID = jnp.int8(0), jnp.int8(1), jnp.int8(2)
 
+# Budgets above this use the neighbor-capped tiled mode (_make_fcit_knn)
+# instead of dense (N, N) matrices. Patchable for tests.
+_DENSE_MAX = 8192
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -108,7 +112,9 @@ def make_fcit_batch(
     assert rounds >= 1, (
         f"max_samples={N} must hold 1+{n_goals} endpoints + one {B}-sample batch"
     )
-    assert N <= 8192, "dense (N, N) matrices: keep max_samples <= 8192"
+    if N > _DENSE_MAX:
+        # beyond the dense (N, N) regime: neighbor-capped tiled mode
+        return _make_fcit_knn(spec, settings, n_goals, max_path, lazy_iters)
     diam = float(np.linalg.norm(spec.range))
     validate_edges = make_validate_edges_chunked(
         fkcc, res, 64, max(int(np.ceil(diam * res / 64)), 1)
@@ -358,6 +364,322 @@ def make_fcit_batch(
         # converged solution is ever lost)
         D = pairwise(carry["states"], carry["active"])
         g, parent = lazy_sp(D, carry["validity"], carry["active"], optimistic=False)
+        goal_idx, cost = goal_choice(g)
+        seq, length = walk_path(parent, goal_idx)
+        path = jnp.take_along_axis(carry["states"], seq[:, :, None], 1)
+        solved = cost < INF
+
+        return FCITResult(
+            path=path,
+            path_length=jnp.where(solved, length, 0),
+            cost=jnp.where(solved, cost, 0.0),
+            iterations=jnp.broadcast_to(carry["round"], (L,)).astype(jnp.int32),
+            solved=solved,
+            graph_size=jnp.sum(carry["active"], axis=1).astype(jnp.int32),
+            sampler=carry["sampler"],
+            cost_trace=carry["trace"].T,
+        )
+
+    return solve
+
+
+def _make_fcit_knn(
+    spec: RobotSpec,
+    settings: RoadmapSettings,
+    n_goals: int,
+    max_path: int,
+    lazy_iters: int,
+):
+    """FCIT* beyond the dense-matrix regime (max_samples > 8192).
+
+    The dense mode's (N, N) distance/validity matrices are O(N^2) memory —
+    268 MB/lane at N=16k — so large budgets instead keep, per node, its K
+    nearest active nodes (K >= the k-PRM* bound ceil(e(1+1/d) ln N), which
+    preserves asymptotic optimality; Karaman & Frazzoli 2011). Distances are
+    rebuilt each sampling round in row tiles via |a-b|^2 = |a|^2+|b|^2-2ab
+    (batched GEMM) + lax.top_k, so no O(N^2) buffer ever materializes.
+
+    Documented deviations from the dense mode / reference fcit.hh:
+    - the roadmap is a directed K-nearest graph relaxed pull-style (node v
+      improves through its own K-nearest list), not fully connected
+      (roadmap.hh:86-95); with K at the k-PRM* bound the sampled optimum is
+      preserved asymptotically;
+    - edge-validity memoization (fcit.hh invalidList) persists only within a
+      round: neighbor lists change at every rebuild, so verdict slots are
+      re-derived (extra re-validations, never unsoundness — the extracted
+      path uses validated edges only).
+    """
+    fkcc = make_fkcc_planner(spec)
+    dim = spec.dimension
+    res = spec.resolution
+    N = settings.max_samples
+    B = settings.batch_size
+    R = 256  # distance-tile rows: (L, R, N) temp stays O(100MB) at L<=8
+    N = -(-N // R) * R  # round capacity up to whole tiles
+    rounds = min(max((N - 1 - n_goals) // B, 0), settings.max_iterations)
+    kstar = int(np.ceil(np.e * (1.0 + 1.0 / dim) * np.log(N)))
+    K = max(settings.max_neighbors, kstar)
+    diam = float(np.linalg.norm(spec.range))
+    validate_edges = make_validate_edges_chunked(
+        fkcc, res, 64, max(int(np.ceil(diam * res / 64)), 1)
+    )
+    lower = jnp.asarray(spec.lower)
+    scale = jnp.asarray(spec.range)
+
+    def solve(
+        starts: jnp.ndarray,  # (L, dim)
+        goals: jnp.ndarray,  # (L, G, dim)
+        goal_mask: jnp.ndarray,  # (L, G)
+        envs: PackedEnvironment,
+        samplers: Optional[HaltonState] = None,
+        base_rot=None,
+        base_pos=None,
+    ) -> FCITResult:
+        L, G = goals.shape[0], goals.shape[1]
+        if samplers is None:
+            samplers = halton_init_batch(dim, L)
+        br, bp = base_rot, base_pos
+
+        states = jnp.zeros((L, N, dim), jnp.float32)
+        states = states.at[:, 0].set(starts)
+        states = states.at[:, 1 : 1 + G].set(goals)
+        active = jnp.zeros((L, N), bool).at[:, 0].set(True)
+        active = active.at[:, 1 : 1 + G].set(goal_mask)
+
+        lanes = jnp.arange(L)
+        lane_off = (lanes * N)[:, None, None]  # for linear-index gathers
+
+        def sample_batch(states, active, slot, sampler):
+            """Identical per-lane stream semantics to the dense mode."""
+
+            def cond(c):
+                return jnp.any(c["count"] < B) & (c["draws"] < 64 * B)
+
+            def body(c):
+                need = c["count"] < B
+                u, s2 = halton_next(c["sampler"])
+                sampler = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        need if new.ndim == 1 else need[None], new, old
+                    ),
+                    s2,
+                    c["sampler"],
+                )
+                q = (u * scale[:, None] + lower[:, None]).T  # (L, dim)
+                ok = fkcc(q.T[:, None, :], envs, br, bp)[0] & need
+                dest = jnp.where(ok, slot + c["count"], N - 1)
+                states = c["states"].at[lanes, dest].set(
+                    jnp.where(ok[:, None], q, c["states"][lanes, dest])
+                )
+                active = c["active"].at[lanes, dest].set(
+                    c["active"][lanes, dest] | ok
+                )
+                return dict(
+                    states=states,
+                    active=active,
+                    sampler=sampler,
+                    count=c["count"] + ok.astype(jnp.int32),
+                    draws=c["draws"] + 1,
+                )
+
+            out = lax.while_loop(
+                cond,
+                body,
+                dict(
+                    states=states,
+                    active=active,
+                    sampler=sampler,
+                    count=jnp.zeros((L,), jnp.int32),
+                    draws=jnp.int32(0),
+                ),
+            )
+            return out["states"], out["active"], out["sampler"]
+
+        def build_knn(states, active):
+            """(L, N, K) K-nearest indices + distances over active nodes,
+            rebuilt in (L, R, N) row tiles — no (N, N) buffer."""
+            s2 = jnp.sum(states * states, axis=2)  # (L, N)
+            iota_n = jnp.arange(N)
+
+            def tile(t, acc):
+                idx_acc, d_acc = acc
+                r0 = t * R
+                rows = lax.dynamic_slice_in_dim(states, r0, R, axis=1)
+                rs2 = lax.dynamic_slice_in_dim(s2, r0, R, axis=1)
+                dots = jnp.einsum("lrd,lnd->lrn", rows, states)
+                d2 = rs2[:, :, None] - 2.0 * dots + s2[:, None, :]
+                d2 = jnp.where(active[:, None, :], d2, INF)
+                self_mask = iota_n[None, None, :] == (r0 + jnp.arange(R))[None, :, None]
+                d2 = jnp.where(self_mask, INF, d2)
+                negd, idx = lax.top_k(-d2, K)
+                idx_acc = lax.dynamic_update_slice(
+                    idx_acc, idx.astype(jnp.int32), (0, r0, 0)
+                )
+                d_acc = lax.dynamic_update_slice(
+                    d_acc, jnp.sqrt(jnp.maximum(-negd, 0.0)), (0, r0, 0)
+                )
+                return idx_acc, d_acc
+
+            idx0 = jnp.zeros((L, N, K), jnp.int32)
+            d0 = jnp.full((L, N, K), INF)
+            return lax.fori_loop(0, N // R, tile, (idx0, d0))
+
+        def lazy_sp(nbr_idx, nbr_dist, validity, active, optimistic=True):
+            """Pull-style Bellman-Ford over each node's K-nearest list."""
+            if optimistic:
+                Dm = jnp.where(validity == INVALID, INF, nbr_dist)
+            else:
+                Dm = jnp.where(validity == VALID, nbr_dist, INF)
+            flat_idx = (lane_off + nbr_idx).reshape(-1)
+
+            def bf(c):
+                g, parent, _, it = c
+                gu = jnp.take(g.reshape(-1), flat_idx).reshape(L, N, K)
+                tot = gu + Dm
+                best = jnp.min(tot, axis=2)
+                argk = jnp.argmin(tot, axis=2)
+                cand_parent = jnp.take_along_axis(nbr_idx, argk[..., None], 2)[..., 0]
+                better = (best < g) & active
+                g2 = jnp.where(better, best, g)
+                p2 = jnp.where(better, cand_parent, parent)
+                return g2, p2, jnp.any(better), it + 1
+
+            g0 = jnp.full((L, N), INF).at[:, 0].set(0.0)
+            p0 = jnp.zeros((L, N), jnp.int32)
+            g, parent, _, _ = lax.while_loop(
+                lambda c: c[2] & (c[3] < N), bf, (g0, p0, jnp.bool_(True), jnp.int32(0))
+            )
+            return g, parent
+
+        def goal_choice(g):
+            gg = lax.dynamic_slice_in_dim(g, 1, G, axis=1)
+            gg = jnp.where(goal_mask, gg, INF)
+            return jnp.argmin(gg, axis=1).astype(jnp.int32) + 1, jnp.min(gg, axis=1)
+
+        def walk_path(parent, goal_idx):
+            def step(i, acc):
+                buf, cur, length = acc
+                buf = buf.at[:, i].set(cur)
+                at_start = cur == 0
+                nxt = jnp.take_along_axis(parent, cur[:, None], 1)[:, 0]
+                length = jnp.where(at_start, length, length + 1)
+                cur = jnp.where(at_start, cur, nxt)
+                return buf, cur, length
+
+            buf = jnp.zeros((L, max_path), jnp.int32)
+            buf, _, length = lax.fori_loop(
+                0, max_path, step, (buf, goal_idx, jnp.ones((L,), jnp.int32))
+            )
+            pos = jnp.arange(max_path)[None, :]
+            ridx = jnp.clip(length[:, None] - 1 - pos, 0, max_path - 1)
+            return jnp.take_along_axis(buf, ridx, 1), length
+
+        def _scatter_rows(vflat, idx, values, mask):
+            ll = jnp.arange(L)[:, None]
+            safe = jnp.where(mask, idx, 0)
+            cur = jnp.take_along_axis(vflat, safe, 1)
+            new = jnp.where(mask, values, cur)
+            return vflat.at[ll, safe].set(new)
+
+        def repair(nbr_idx, nbr_dist, validity, states, active):
+            """Validate-and-repair the best optimistic path until all-valid.
+            Path edges are (parent u -> v) with u in v's neighbor list by
+            construction; verdicts scatter into validity[v, slot_of(u)]."""
+
+            def cond(c):
+                _, _, pending, it = c
+                return jnp.any(pending) & (it < lazy_iters)
+
+            def body(c):
+                validity, best_cost, _, it = c
+                g, parent = lazy_sp(nbr_idx, nbr_dist, validity, active)
+                goal_idx, cost = goal_choice(g)
+                seq, length = walk_path(parent, goal_idx)
+                E = max_path - 1
+                u_idx = seq[:, :-1]  # parent side
+                v_idx = seq[:, 1:]
+                edge_live = (jnp.arange(E)[None, :] < (length - 1)[:, None]) & (
+                    cost[:, None] < INF
+                )
+                # slot of u in v's K-list (guaranteed present for tree edges)
+                v_nbrs = jnp.take(
+                    nbr_idx.reshape(L * N, K),
+                    (lanes[:, None] * N + v_idx).reshape(-1),
+                    axis=0,
+                ).reshape(L, E, K)
+                slot = jnp.argmax(v_nbrs == u_idx[:, :, None], axis=2)
+                flat = v_idx * K + slot  # (L, E) into (N*K)
+                vflat = validity.reshape(L, N * K)
+                known = jnp.take_along_axis(vflat, flat, 1)
+                need = edge_live & (known == UNKNOWN)
+
+                su = jnp.take_along_axis(states, u_idx[:, :, None], 1)
+                sv = jnp.take_along_axis(states, v_idx[:, :, None], 1)
+                vecs = sv - su
+                dists = jnp.linalg.norm(vecs, axis=2)
+                ok = validate_edges(su, vecs, dists, envs, br, bp, need)
+                verdict = jnp.where(ok, VALID, INVALID).astype(jnp.int8)
+                upd = jnp.where(need, verdict, known).astype(jnp.int8)
+                vflat = _scatter_rows(vflat, flat, upd, need)
+                validity = vflat.reshape(L, N, K)
+                pending = jnp.any(need & ~ok, axis=1)
+                return validity, cost, pending, it + 1
+
+            validity, cost, _, _ = lax.while_loop(
+                cond,
+                body,
+                (validity, jnp.full((L,), INF), jnp.ones((L,), bool), jnp.int32(0)),
+            )
+            return validity, cost
+
+        carry = dict(
+            states=states,
+            active=active,
+            nbr_idx=jnp.zeros((L, N, K), jnp.int32),
+            nbr_dist=jnp.full((L, N, K), INF),
+            validity=jnp.zeros((L, N, K), jnp.int8),
+            sampler=samplers,
+            slot=jnp.int32(1 + G),
+            round=jnp.int32(0),
+            solved=jnp.zeros((L,), bool),
+            trace=jnp.full((rounds, L), INF),
+        )
+
+        def round_cond(c):
+            room = c["slot"] + B <= N
+            budget = c["round"] < rounds
+            work = jnp.any(~c["solved"]) | jnp.bool_(settings.optimize)
+            return budget & room & work
+
+        def round_body(c):
+            s2, a2, smp = sample_batch(c["states"], c["active"], c["slot"], c["sampler"])
+            nbr_idx, nbr_dist = build_knn(s2, a2)
+            validity = jnp.zeros((L, N, K), jnp.int8)  # lists changed: reset
+            validity, _ = repair(nbr_idx, nbr_dist, validity, s2, a2)
+            gp, _ = lazy_sp(nbr_idx, nbr_dist, validity, a2, optimistic=False)
+            _, best_cost = goal_choice(gp)
+            trace = lax.dynamic_update_slice(
+                c["trace"], best_cost[None, :], (c["round"], jnp.int32(0))
+            )
+            return dict(
+                states=s2,
+                active=a2,
+                nbr_idx=nbr_idx,
+                nbr_dist=nbr_dist,
+                validity=validity,
+                sampler=smp,
+                slot=c["slot"] + B,
+                round=c["round"] + 1,
+                solved=best_cost < INF,
+                trace=trace,
+            )
+
+        carry = lax.while_loop(round_cond, round_body, carry)
+
+        g, parent = lazy_sp(
+            carry["nbr_idx"], carry["nbr_dist"], carry["validity"], carry["active"],
+            optimistic=False,
+        )
         goal_idx, cost = goal_choice(g)
         seq, length = walk_path(parent, goal_idx)
         path = jnp.take_along_axis(carry["states"], seq[:, :, None], 1)
