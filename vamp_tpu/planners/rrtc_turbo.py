@@ -232,11 +232,13 @@ def make_rrtc_turbo_batch(
 
         start_sq = jnp.sum(starts * starts, axis=1)  # (L,)
         goal_sq = jnp.sum(goals * goals, axis=2)  # (L, G)
-        s2a = jnp.full((N0, L), BIG)
-        s2a = lax.dynamic_update_slice(s2a, start_sq[None, :], (0, 0))
-        s2b = jnp.full((N0, L), BIG)
-        s2b = lax.dynamic_update_slice(
-            s2b, jnp.where(goal_mask, goal_sq, BIG).T, (1, 0)
+        # Both trees' sentinel-norm arrays in ONE (2, N, L) buffer: one argmin
+        # and one contiguous insert write instead of two of each (serialized
+        # phases are what per-step cost is made of on this device).
+        s2ab = jnp.full((2, N0, L), BIG)
+        s2ab = lax.dynamic_update_slice(s2ab, start_sq[None, None, :], (0, 0, 0))
+        s2ab = lax.dynamic_update_slice(
+            s2ab, jnp.where(goal_mask, goal_sq, BIG).T[None], (1, 1, 0)
         )
 
         parents = jnp.broadcast_to(jnp.arange(N0, dtype=jnp.int32)[:, None], (N0, L))
@@ -244,8 +246,7 @@ def make_rrtc_turbo_batch(
 
         carry = dict(
             states=states,
-            s2a=s2a,
-            s2b=s2b,
+            s2ab=s2ab,
             parents=parents,
             radii=radii,
             slot=jnp.int32(1 + G),
@@ -293,7 +294,7 @@ def make_rrtc_turbo_batch(
 
         def body(c):
             states = c["states"]
-            s2a, s2b = c["s2a"], c["s2b"]
+            s2ab = c["s2ab"]
             parents, radii = c["parents"], c["radii"]
             slot, sizes, tree_a = c["slot"], c["sizes"], c["tree_a"]
             run = running(c)
@@ -334,26 +335,38 @@ def make_rrtc_turbo_batch(
             # -- NN in BOTH trees from one states sweep ---------------------
             # Both queries use the SAMPLE (see the other-tree note below), so
             # the dot over the (dim, N, L) buffer — the dominant per-step HBM
-            # read in deep waves — is computed once; each tree then costs one
-            # (N, L) argmin over its own sentinel array, and per-lane tree
-            # identity is a select of the two results.
+            # read in deep waves — is computed once; the two trees' sentinel
+            # arrays share one (2, N, L) buffer so both argmins are ONE op,
+            # and per-lane tree identity is a select of the two results.
+            in_a_sel = in_a[0]
             if "nn" in _DISABLE:
                 near_idx = jnp.zeros((L,), jnp.int32)
                 arg_a = arg_b = near_idx
             else:
                 dot = jnp.sum(states * sample[:, None, :], axis=0)  # (N, L)
                 q2 = jnp.sum(sample * sample, axis=0)
-                sq_a = s2a - 2.0 * dot + q2[None, :]
-                sq_b = s2b - 2.0 * dot + q2[None, :]
-                arg_a = jnp.argmin(sq_a, axis=0).astype(jnp.int32)
-                arg_b = jnp.argmin(sq_b, axis=0).astype(jnp.int32)
-                in_a_sel = in_a[0]
+                sq = s2ab - 2.0 * dot[None] + q2[None, None, :]  # (2, N, L)
+                args2 = jnp.argmin(sq, axis=1).astype(jnp.int32)  # (2, L)
+                arg_a, arg_b = args2[0], args2[1]
                 near_idx = jnp.where(in_a_sel, arg_a, arg_b)
+            # other-tree connect target (see deviation note below): computed
+            # up front so BOTH configurations come from one gather
+            if "nn" in _DISABLE or "nn2" in _DISABLE:
+                ob_idx = jnp.ones((L,), jnp.int32)
+            else:
+                ob_idx = jnp.where(in_a_sel, arg_b, arg_a)
             if "gather" in _DISABLE:
                 near_cfg = sample * 0.9
                 near_rad = jnp.full((L,), INF)
             else:
-                near_cfg = fetch_cfg(states, near_idx)
+                got = jnp.take_along_axis(
+                    states,
+                    jnp.broadcast_to(
+                        jnp.stack([near_idx, ob_idx])[None], (dim, 2, L)
+                    ),
+                    axis=1,
+                )
+                near_cfg, ob_cfg = got[:, 0], got[:, 1]
                 near_rad = jnp.take_along_axis(radii, near_idx[None, :], axis=0)[0]
 
             vec = sample - near_cfg
@@ -377,20 +390,15 @@ def make_rrtc_turbo_batch(
             # -- NN in the other tree ---------------------------------------
             # Queried with the SAMPLE, not the speculative new node: both NN
             # queries then share one states sweep (above) instead of
-            # serializing NN1 -> new_cfg -> NN2. When the sample is within
-            # `range` of the near node the query is identical (new_cfg ==
-            # sample); otherwise new_cfg lies on the near->sample segment and
-            # the chosen connect target is almost always the same node.
+            # serializing NN1 -> new_cfg -> NN2; the two winning
+            # configurations come back in one gather. When the sample is
+            # within `range` of the near node the query is identical (new_cfg
+            # == sample); otherwise new_cfg lies on the near->sample segment
+            # and the chosen connect target is almost always the same node.
             # Deviation from rrtc.hh:160-165 documented in the module
             # docstring (turbo already trades stream parity).
-            if "nn" in _DISABLE or "nn2" in _DISABLE:
-                ob_idx = jnp.ones((L,), jnp.int32)
-            else:
-                ob_idx = jnp.where(in_a_sel, arg_b, arg_a)
             if "gather" in _DISABLE:
                 ob_cfg = new_cfg + 0.1
-            else:
-                ob_cfg = fetch_cfg(states, ob_idx)
             ob_dist = jnp.linalg.norm(ob_cfg - new_cfg, axis=0)
             n_segs = jnp.maximum(jnp.ceil(ob_dist / rng_range), 1.0)
 
@@ -488,26 +496,13 @@ def make_rrtc_turbo_batch(
                 states = lax.dynamic_update_slice(states, rows, (0, slot, 0))
                 n0_sq = jnp.sum(node0 * node0, axis=0)
                 n1_sq = jnp.sum(way_cfg * way_cfg, axis=0)
-                s2a = lax.dynamic_update_slice(
-                    s2a,
-                    jnp.stack(
-                        [
-                            jnp.where(ins0 & in_a_l, n0_sq, BIG),
-                            jnp.where(ins1 & in_a_l, n1_sq, BIG),
-                        ]
-                    ),
-                    (slot, 0),
-                )
-                s2b = lax.dynamic_update_slice(
-                    s2b,
-                    jnp.stack(
-                        [
-                            jnp.where(ins0 & ~in_a_l, n0_sq, BIG),
-                            jnp.where(ins1 & ~in_a_l, n1_sq, BIG),
-                        ]
-                    ),
-                    (slot, 0),
-                )
+                ins2 = jnp.stack([ins0, ins1])  # (2slots, L)
+                nsq2 = jnp.stack([n0_sq, n1_sq])  # (2slots, L)
+                tsel = jnp.stack([in_a_l, ~in_a_l])  # (2trees, L)
+                rows2 = jnp.where(
+                    ins2[None] & tsel[:, None], nsq2[None], BIG
+                )  # (2trees, 2slots, L): ONE write covers both trees
+                s2ab = lax.dynamic_update_slice(s2ab, rows2, (0, slot, 0))
                 # Inactive slots self-parent so a path walk can't escape them.
                 parents = lax.dynamic_update_slice(
                     parents,
@@ -551,8 +546,7 @@ def make_rrtc_turbo_batch(
             return dict(
                 step=c["step"] + 1,
                 states=states,
-                s2a=s2a,
-                s2b=s2b,
+                s2ab=s2ab,
                 parents=parents,
                 radii=radii,
                 slot=slot_next,
@@ -577,14 +571,15 @@ def make_rrtc_turbo_batch(
             """Pad tree buffers to `cap` slots with vacant-sentinel rows (BIG
             norms, self-parents, INF radii): identical tree state, larger
             capacity — the solve trajectory is unchanged by staging."""
-            n_old = c["s2a"].shape[0]
+            n_old = c["s2ab"].shape[1]
             pad = cap - n_old
             c = dict(c)
             c["states"] = jnp.concatenate(
                 [c["states"], jnp.zeros((dim, pad, L), jnp.float32)], axis=1
             )
-            c["s2a"] = jnp.concatenate([c["s2a"], jnp.full((pad, L), BIG)], axis=0)
-            c["s2b"] = jnp.concatenate([c["s2b"], jnp.full((pad, L), BIG)], axis=0)
+            c["s2ab"] = jnp.concatenate(
+                [c["s2ab"], jnp.full((2, pad, L), BIG)], axis=1
+            )
             c["parents"] = jnp.concatenate(
                 [
                     c["parents"],
@@ -601,7 +596,7 @@ def make_rrtc_turbo_batch(
 
         out = carry
         for cap in stage_caps:
-            if out["s2a"].shape[0] < cap:
+            if out["s2ab"].shape[1] < cap:
                 out = grow(out, cap)
             out = lax.while_loop(make_cond(cap), body, out)
 
