@@ -89,6 +89,8 @@ def evaluate(
     pointcloud: bool = False,
     samples_per_object: int = 2048,
     filter_radius: float = 0.02,
+    pc_lanes: int = 32,
+    limit: int = 0,
 ):
     """With `timed`, each wave runs twice — once to compile/warm up, once for
     the measured wall time (results come from the timed run; the solver is
@@ -113,6 +115,8 @@ def evaluate(
     dim = spec.dimension
 
     problems = load_problems(robot, sets)
+    if limit:
+        problems = problems[:limit]
     n_total = len(problems)
 
     # -- full multi-goal workload (reference evaluate_mbm.py:98 passes the
@@ -132,46 +136,73 @@ def evaluate(
 
     if pointcloud:
         # CAPT mode (reference scripts/evaluate_mbm.py:54-59 + 77-85):
-        # synthesize + filter a cloud per problem, build per-lane CAPTs,
-        # pad them to a common shape so the env pytrees stack.
+        # synthesize + filter a cloud per problem, build per-lane CAPTs.
+        # A lane-batched CAPT is ~90 MB/lane (leaf affordance buffers), so
+        # the suite can NEVER stack into one device pytree (704 lanes = 61 GB
+        # — the round-3 full-suite worker kill). Everything device-side runs
+        # in lane chunks of `pc_lanes`, and each wave re-pads the pending
+        # problems' raw CAPTs to that wave's maxima (per-wave tight cloud
+        # capacities).
+        from vamp_tpu.env import Environment as _Env
         from vamp_tpu.ops.capt import pad_capt
         from vamp_tpu.pointcloud import problem_dict_to_pointcloud
 
-        raw_envs = []
+        raw_capts = []
         for p in problems:
             e, _orig, _filt, _ft, _bt = problem_dict_to_pointcloud(
                 robot, p, samples_per_object, filter_radius, True
             )
-            raw_envs.append(e)
-        nlog2 = max(e.pointclouds[0].nlog2 for e in raw_envs)
-        max_aff = max(e.pointclouds[0].leaf_points.shape[1] for e in raw_envs)
+            raw_capts.append(e.pointclouds[0])
+        nlog2 = max(c.nlog2 for c in raw_capts)
+        max_aff = max(c.leaf_points.shape[1] for c in raw_capts)
         if not quiet:
-            pts = [int(2 ** e.pointclouds[0].nlog2) for e in raw_envs]
+            pts = [int(2 ** c.nlog2) for c in raw_capts]
             print(
                 f"pointcloud mode: tree depth {nlog2}, max_aff {max_aff}, "
-                f"leaves min/max {min(pts)}/{max(pts)}"
+                f"leaves min/max {min(pts)}/{max(pts)}, pc_lanes {pc_lanes}"
             )
-        envs_list = []
-        for e in raw_envs:
-            e.pointclouds = [pad_capt(e.pointclouds[0], nlog2, max_aff)]
-            envs_list.append(e.pack(quantum=1))
+
+        def packed_env(i, n2, aff):
+            shell = _Env()
+            shell.pointclouds = [pad_capt(raw_capts[i], n2, aff)]
+            return shell.pack(quantum=1)
+
+        def envs_for(ids, n2=None, aff=None):
+            n2 = nlog2 if n2 is None else n2
+            aff = max_aff if aff is None else aff
+            return jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[packed_env(i, n2, aff) for i in ids]
+            )
     else:
         from vamp_tpu.env import max_class_counts
 
         env_objs = [vamp.problem_dict_to_vamp(p) for p in problems]
         caps = max_class_counts(env_objs)  # incl. z-aligned fast-path classes
         envs_list = [e.pack(quantum=1, capacities=caps) for e in env_objs]
-    envs_all = jax.tree.map(lambda *xs: jnp.stack(xs), *envs_list)
+        envs_all = jax.tree.map(lambda *xs: jnp.stack(xs), *envs_list)
+
+        def envs_for(ids, n2=None, aff=None):
+            return jax.tree.map(lambda x: x[np.asarray(ids)], envs_all)
 
     # -- problem validity (reference: data['valid'] filter), batched --------
     from vamp_tpu.ops.fkcc_bm import make_fkcc_planner
 
     fkccp = jax.jit(make_fkcc_planner(spec))
-    sv = np.asarray(fkccp(jnp.asarray(starts.T)[:, None, :], envs_all, None, None))[0]
-    # per-goal validity (batch-minor (dim, G, n) against each problem's env)
-    gv = np.asarray(
-        fkccp(jnp.asarray(goals.transpose(2, 1, 0)), envs_all, None, None)
-    ).T  # (n, G)
+    CH = pc_lanes if pointcloud else n_total
+    sv = np.zeros(n_total, bool)
+    gv = np.zeros((n_total, G_max), bool)
+    for c0 in range(0, n_total, CH):
+        ids = list(range(c0, min(c0 + CH, n_total)))
+        ids_p = ids + [ids[0]] * (CH - len(ids))  # pad: one compile shape
+        envs_c = envs_for(ids_p)
+        sv_c = np.asarray(
+            fkccp(jnp.asarray(starts[ids_p].T)[:, None, :], envs_c, None, None)
+        )[0]
+        gv_c = np.asarray(
+            fkccp(jnp.asarray(goals[ids_p].transpose(2, 1, 0)), envs_c, None, None)
+        ).T  # (CH, G)
+        sv[ids] = sv_c[: len(ids)]
+        gv[ids] = gv_c[: len(ids)]
     in_limits = lambda q: np.all(
         (q >= spec.lower) & (q <= spec.upper), axis=-1
     )
@@ -200,24 +231,33 @@ def evaluate(
         for rep in range(repeats):
             if len(pending) == 0:
                 break
-            P = len(pending)
+            Pw = len(pending)
             # racing: survivors re-batch with K independent sample streams
             # each — lanes are nearly free on TPU next to sequential steps,
             # so wide-and-shallow beats narrow-and-deep for the tail.
-            K = max(1, min(L_max // P, K_max))
-            L = min(L_max, -(-(P * K) // 64) * 64)
-            lane_prob = np.full(L, -1, np.int64)
-            lane_group = np.full(L, -1, np.int64)
-            for pos, i in enumerate(pending):
-                lane_prob[pos * K : (pos + 1) * K] = i
-                lane_group[pos * K : (pos + 1) * K] = pos
-            idx = np.where(lane_prob >= 0, lane_prob, 0)
-            lane_live = lane_prob >= 0
-            # padding lanes: singleton groups past the live ones
-            lane_group[~lane_live] = P + np.arange(int((~lane_live).sum()))
-            replica = np.arange(L) % K + rotation
-            if rep == 0 and rotation == 0:
-                replica = np.arange(L) % K  # replica 0 = canonical stream
+            if pointcloud:
+                # lane-chunked: at ~90 MB of CAPT per lane, a call can hold
+                # at most pc_lanes lanes; a wave runs as ceil(P/ppc) calls of
+                # identical shape (one compile; replica groups never split)
+                Lc = min(pc_lanes, L_max)
+                K = max(1, min(K_max, Lc // min(Pw, Lc)))
+                ppc = max(1, Lc // K)
+                chunks = [
+                    pending[o : o + ppc] for o in range(0, Pw, ppc)
+                ]
+                n2_w = max(raw_capts[i].nlog2 for i in pending)
+                aff_w = max(raw_capts[i].leaf_points.shape[1] for i in pending)
+            else:
+                K = max(1, min(L_max // Pw, K_max))
+                chunks = [pending]
+                n2_w = aff_w = None
+                from vamp_tpu.env import max_class_counts
+
+                wcaps = max_class_counts([env_objs[i] for i in pending])
+                packed_w = {
+                    int(i): env_objs[i].pack(quantum=1, capacities=wcaps)
+                    for i in pending
+                }
 
             settings = RRTCSettings(
                 range=vamp.ROBOT_RRT_RANGES.get(robot, 2.0),
@@ -230,71 +270,88 @@ def evaluate(
             solve = jax.jit(
                 make_solver(spec, settings, n_goals=G_max, max_path=path_caps, **kw)
             )
-            if pointcloud:
-                envs_w = jax.tree.map(lambda x: x[idx], envs_all)
-            else:
-                # tight per-wave capacities: the suite-wide caps (21 slots)
-                # pad the median problem's 12 live shapes with dead slots
-                # that still cost full env-sweep work; survivors repack at
-                # exactly this wave's maxima
-                from vamp_tpu.env import max_class_counts
+            wave_time = 0.0
+            warmed = False
+            for sub in chunks:
+                P = len(sub)
+                if pointcloud:
+                    L = -(-(ppc * K) // 8) * 8  # fixed shape across chunks
+                else:
+                    L = min(L_max, -(-(P * K) // 64) * 64)
+                lane_prob = np.full(L, -1, np.int64)
+                lane_group = np.full(L, -1, np.int64)
+                for pos, i in enumerate(sub):
+                    lane_prob[pos * K : (pos + 1) * K] = i
+                    lane_group[pos * K : (pos + 1) * K] = pos
+                idx = np.where(lane_prob >= 0, lane_prob, 0)
+                lane_live = lane_prob >= 0
+                # padding lanes: singleton groups past the live ones
+                lane_group[~lane_live] = P + np.arange(int((~lane_live).sum()))
+                replica = np.arange(L) % K + rotation
+                if rep == 0 and rotation == 0:
+                    replica = np.arange(L) % K  # replica 0 = canonical stream
 
-                wcaps = max_class_counts([env_objs[i] for i in pending])
-                packed_w = {
-                    int(i): env_objs[i].pack(quantum=1, capacities=wcaps)
-                    for i in pending
-                }
-                fill = int(pending[0])
-                envs_w = jax.tree.map(
-                    lambda *xs: jnp.stack(xs),
-                    *[packed_w[int(i) if lane_live[k] else fill]
-                      for k, i in enumerate(idx)],
+                if pointcloud:
+                    envs_w = envs_for(idx.tolist(), n2_w, aff_w)
+                else:
+                    # tight per-wave capacities: the suite-wide caps pad the
+                    # median problem's live shapes with dead slots that still
+                    # cost full env-sweep work; survivors repack at exactly
+                    # this wave's maxima
+                    fill = int(sub[0])
+                    envs_w = jax.tree.map(
+                        lambda *xs: jnp.stack(xs),
+                        *[packed_w[int(i) if lane_live[k] else fill]
+                          for k, i in enumerate(idx)],
+                    )
+                args = (
+                    jnp.asarray(starts[idx]),
+                    jnp.asarray(goals[idx]),  # (L, G_max, dim), full goal lists
+                    jnp.asarray(gmask[idx] & lane_live[:, None]),
+                    envs_w,
+                    racing_samplers(dim, L, replica),
                 )
-            args = (
-                jnp.asarray(starts[idx]),
-                jnp.asarray(goals[idx]),  # (L, G_max, dim), full goal lists
-                jnp.asarray(gmask[idx] & lane_live[:, None]),
-                envs_w,
-                racing_samplers(dim, L, replica),
-            )
-            if turbo:
-                # racing-replica groups: a problem's first winner stops its
-                # siblings (planners/rrtc_turbo.py solve_batch group_id)
-                args = args + (None, None, jnp.asarray(lane_group, jnp.int32))
-            if timed:
-                # compile + warm; np.asarray forces a real device round trip
-                # (block_until_ready alone returns early on some backends)
-                np.asarray(solve(*args).solved)
-            tw = time.perf_counter()
-            res = solve(*args)
-            ok = np.asarray(res.solved)
-            wave_time = time.perf_counter() - tw
+                if turbo:
+                    # racing-replica groups: a problem's first winner stops its
+                    # siblings (planners/rrtc_turbo.py solve_batch group_id)
+                    args = args + (None, None, jnp.asarray(lane_group, jnp.int32))
+                if timed and not warmed:
+                    # compile + warm; np.asarray forces a real device round
+                    # trip (block_until_ready alone returns early on some
+                    # backends); later chunks share the executable
+                    np.asarray(solve(*args).solved)
+                    warmed = True
+                tw = time.perf_counter()
+                res = solve(*args)
+                ok = np.asarray(res.solved)
+                wave_time += time.perf_counter() - tw
+                ok = ok & lane_live
+                res_paths = np.asarray(res.path)
+                res_lens = np.asarray(res.path_length)
+                res_cost = np.asarray(res.cost)
+                res_iter = np.asarray(res.iterations)
+                for pos, i in enumerate(sub):
+                    lanes = np.arange(pos * K, (pos + 1) * K)
+                    winners = lanes[ok[lanes]]
+                    if len(winners) == 0:
+                        continue
+                    j = winners[0]  # smallest replica
+                    solved[i] = True
+                    costs[i] = float(res_cost[j])
+                    iters[i] = int(res_iter[j])
+                    paths[i] = res_paths[j][: res_lens[j]]
             solve_timed += wave_time
-            ok = ok & lane_live
-            res_paths = np.asarray(res.path)
-            res_lens = np.asarray(res.path_length)
-            res_cost = np.asarray(res.cost)
-            res_iter = np.asarray(res.iterations)
-            for pos, i in enumerate(pending):
-                lanes = np.arange(pos * K, (pos + 1) * K)
-                winners = lanes[ok[lanes]]
-                if len(winners) == 0:
-                    continue
-                j = winners[0]  # smallest replica
-                solved[i] = True
-                costs[i] = float(res_cost[j])
-                iters[i] = int(res_iter[j])
-                paths[i] = res_paths[j][: res_lens[j]]
             pending = np.array([i for i in pending if not solved[i]], np.int64)
             wave_stats.append(
-                dict(wave=wave, rep=rep, budget=max_iter, L=L, K=K,
-                     time_s=wave_time, solved=P - len(pending), of=P)
+                dict(wave=wave, rep=rep, budget=max_iter, K=K,
+                     calls=len(chunks), time_s=wave_time,
+                     solved=Pw - len(pending), of=Pw)
             )
             if not quiet:
                 print(
-                    f"wave {wave}.{rep}: budget {max_iter}, L={L} x{K} "
-                    f"streams, solved {P - len(pending)}/{P} in "
-                    f"{wave_time*1e3:.0f}ms, remaining {len(pending)}"
+                    f"wave {wave}.{rep}: budget {max_iter}, {len(chunks)} "
+                    f"call(s) x{K} streams, solved {Pw - len(pending)}/{Pw} "
+                    f"in {wave_time*1e3:.0f}ms, remaining {len(pending)}"
                 )
             rotation += K
         if len(pending) == 0:
@@ -306,7 +363,7 @@ def evaluate(
     sidx = np.nonzero(solved)[0]
     simp_costs = costs.copy()
     if len(sidx):
-        Ls = 256
+        Ls = pc_lanes if pointcloud else 256  # CAPT memory bounds pc lanes
         simplify = jax.jit(
             make_simplify_batch(
                 spec, SimplifySettings(), max_path=path_caps, chunk_states=16
@@ -323,7 +380,7 @@ def evaluate(
                 pbuf[j, : len(paths[i])] = paths[i]
                 plen[j] = len(paths[i])
             plen[len(blk):] = 2  # idle lanes: trivial 2-point paths
-            envs_s = jax.tree.map(lambda x: x[pad], envs_all)
+            envs_s = envs_for(pad.tolist())
             if timed and not warmed:
                 np.asarray(simplify(jnp.asarray(pbuf), jnp.asarray(plen), envs_s).cost)
                 warmed = True
@@ -363,10 +420,13 @@ if __name__ == "__main__":
     ap.add_argument("--parity", action="store_true", help="use the stream-parity solver")
     ap.add_argument("--pointcloud", action="store_true", help="CAPT pointcloud mode")
     ap.add_argument("--samples_per_object", type=int, default=2048)
+    ap.add_argument("--pc_lanes", type=int, default=32,
+                    help="max lanes per device call in pointcloud mode")
     args = ap.parse_args()
     stats = evaluate(
         args.robot, args.sets, turbo=not args.parity,
         pointcloud=args.pointcloud, samples_per_object=args.samples_per_object,
+        pc_lanes=args.pc_lanes,
     )
     for k, v in stats.items():
         print(f"{k}: {v}")
