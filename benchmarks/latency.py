@@ -50,7 +50,10 @@ def main():
 
     import vamp_tpu as vamp
     from benchmarks.evaluate_mbm import load_problems, racing_samplers
-    from vamp_tpu.planners.rrtc_turbo import make_rrtc_turbo_batch
+    from vamp_tpu.planners.rrtc_turbo import (
+        make_rrtc_simplify_batch,
+        make_rrtc_turbo_batch,
+    )
     from vamp_tpu.utils.settings import RRTCSettings
 
     spec = vamp.robot_module(args.robot).spec
@@ -78,8 +81,15 @@ def main():
         [vamp.problem_dict_to_vamp(problems[pi]) for pi in picks]
     )
 
-    def run_mode(L):
-        solve = jax.jit(make_rrtc_turbo_batch(spec, settings, 1, 256))
+    def run_mode(L, fused):
+        """fused=True: ONE program runs solve AND simplification (the
+        round-4 latency mode — a single relay round trip returns a usable
+        simplified path; reference 'total' semantics, scripts/README.md:13).
+        fused=False: solve only (continuity with earlier rounds)."""
+        if fused:
+            fn = jax.jit(make_rrtc_simplify_batch(spec, settings, None, 1, 256))
+        else:
+            fn = jax.jit(make_rrtc_turbo_batch(spec, settings, 1, 256))
         lat, solved, warm = [], 0, False
         for pi in picks:
             p = problems[pi]
@@ -95,30 +105,41 @@ def main():
             )
             sam = racing_samplers(spec.dimension, L, np.arange(L))
             gid = jnp.zeros((L,), jnp.int32)
-            a = (start, goal, jnp.ones((L, 1), bool), env, sam, None, None, gid)
+            if fused:
+                a = (start, goal, jnp.ones((L, 1), bool), env, sam, gid)
+            else:
+                a = (start, goal, jnp.ones((L, 1), bool), env, sam, None, None, gid)
             if not warm:
-                np.asarray(solve(*a).solved)
+                out = fn(*a)
+                np.asarray((out[0] if fused else out).solved)
                 warm = True
             t0 = time.perf_counter()
-            r = solve(*a)
+            out = fn(*a)
+            r = out[0] if fused else out
             ok = bool(np.asarray(r.solved).any())
+            if fused:  # simplified cost must also be on host for "usable"
+                np.asarray(out[1].cost)
             lat.append(time.perf_counter() - t0)
             solved += ok
         lat = np.asarray(lat) * 1e6
         return lat, solved
 
-    out = {"relay_floor_us": round(floor_us, 1), "reference_median_us": 35.0}
-    for L in (1, 8):
-        lat, solved = run_mode(L)
-        out[f"L{L}"] = {
+    out = {"relay_floor_us": round(floor_us, 1), "reference_median_us": 35.0,
+           "reference_total_median_us": 99.0}
+    for L, fused in ((1, False), (8, False), (8, True)):
+        lat, solved = run_mode(L, fused)
+        key = f"L{L}_fused" if fused else f"L{L}"
+        out[key] = {
             "median_us": round(float(np.median(lat)), 1),
             "mean_us": round(float(lat.mean()), 1),
             "p95_us": round(float(np.percentile(lat, 95)), 1),
             "solved": int(solved),
             "n": int(args.n),
+            "includes_simplify": bool(fused),
         }
         print(
-            f"L={L} racing latency over {args.n} MBM problems (budget 512): "
+            f"L={L}{' fused(plan+simplify)' if fused else ''} latency over "
+            f"{args.n} MBM problems (budget 512): "
             f"median {np.median(lat)/1e3:.1f} ms, mean {lat.mean()/1e3:.1f} ms, "
             f"p95 {np.percentile(lat, 95)/1e3:.1f} ms, solved {solved}/{args.n}"
         )

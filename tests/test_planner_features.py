@@ -240,3 +240,38 @@ def test_aorrtc_multi_goal_uses_second_goal(spec, cage):
     assert res.solved
     np.testing.assert_allclose(res.path[-1], GOAL, atol=1e-4)
     np.testing.assert_allclose(res.path[0], START, atol=1e-4)
+
+
+def test_fused_solve_simplify_pipeline():
+    """make_rrtc_simplify_batch: one program returns both results; the
+    simplified cost never exceeds the raw solve cost on solved lanes."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vamp_tpu.env import Environment, Sphere
+    from vamp_tpu.planners.rrtc_turbo import make_rrtc_simplify_batch
+    from vamp_tpu.robots.descriptions import load_robot
+    from vamp_tpu.samplers.halton import halton_init_batch
+    from vamp_tpu.utils.settings import RRTCSettings
+
+    spec = load_robot("sphere")
+    e = Environment()
+    e.add_sphere(Sphere([0.0, 0.0, 0.0], 0.3))
+    env = e.pack()
+    L = 4
+    starts = jnp.broadcast_to(jnp.asarray([-0.8, -0.8, -0.8], jnp.float32), (L, 3))
+    goals = jnp.broadcast_to(jnp.asarray([0.8, 0.8, 0.8], jnp.float32), (L, 1, 3))
+    run = jax.jit(
+        make_rrtc_simplify_batch(
+            spec, RRTCSettings(range=0.5, max_iterations=256, max_samples=1024),
+            n_goals=1, max_path=64,
+        )
+    )
+    res, sres = run(starts, goals, jnp.ones((L, 1), bool), env,
+                    halton_init_batch(3, L))
+    solved = np.asarray(res.solved)
+    assert solved.any()
+    rc = np.asarray(res.cost)[solved]
+    sc = np.asarray(sres.cost)[solved]
+    assert np.all(sc <= rc + 1e-4)

@@ -179,23 +179,50 @@ def _mark_warmed(fn) -> None:
         _WARMED[id(fn)] = (lambda obj: (lambda: obj))(fn)
 
 
+_CALL_FLOOR_NS: list = []  # one-element cache of the measured relay floor
+
+
+def _call_floor_ns() -> int:
+    """Median wall time of a warm trivial jitted round trip — the fixed cost
+    of ANY device call in this environment (~29 ms through the axon relay;
+    benchmarks/latency_results.json). Measured once per process, lazily."""
+    if not _CALL_FLOOR_NS:
+        bump = jax.jit(lambda x: x + 1.0)
+        jax.block_until_ready(bump(jnp.zeros((8,))))
+        samples = []
+        for k in range(3):
+            x = jnp.full((8,), float(k))
+            jax.block_until_ready(x)
+            t0 = time.perf_counter_ns()
+            jax.block_until_ready(bump(x))
+            samples.append(time.perf_counter_ns() - t0)
+        _CALL_FLOOR_NS.append(int(np.median(samples)))
+    return _CALL_FLOOR_NS[0]
+
+
 def _timed(fn, *args):
     """Run `fn(*args)` with jit compilation excluded from the reported time.
 
-    The reference times inside the solve (rrtc.hh steady_clock); here the
-    first call per compiled executable pays XLA compilation, which would
-    otherwise dominate `PlanningResult.nanoseconds` on the single-problem
-    API path. Warm once per executable (result discarded — the solvers are
-    functional and deterministic), then time the real call to completion.
-    Warm state is keyed by (id, weakref identity): a recycled id after GC of
-    a retired executable cannot skip warm-up for a different function.
+    The reference times inside the solve (rrtc.hh steady_clock, reported via
+    plan.hh:171-179); this backend has no device-side clock, so the closest
+    honest analogue is host wall time MINUS the measured per-call relay
+    floor: the returned ns excludes the fixed host->device dispatch cost
+    that would never appear in an in-solve measurement, clamped at 0.
+
+    Compilation is also excluded: the first call per executable pays XLA
+    compilation, which would otherwise dominate. Warm once per executable
+    (result discarded — the solvers are functional and deterministic), then
+    time the real call to completion. Warm state is keyed by (id, weakref
+    identity): a recycled id after GC of a retired executable cannot skip
+    warm-up for a different function.
     """
+    floor = _call_floor_ns()
     if not _is_warmed(fn):
         jax.block_until_ready(fn(*args))
         _mark_warmed(fn)
     t0 = time.perf_counter_ns()
     out = jax.block_until_ready(fn(*args))
-    return out, time.perf_counter_ns() - t0
+    return out, max(time.perf_counter_ns() - t0 - floor, 0)
 
 
 def _as_batch_sampler(sampler: Optional[HaltonSampler], dim: int) -> Optional[HaltonState]:

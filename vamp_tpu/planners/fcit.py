@@ -643,6 +643,14 @@ def _make_fcit_knn(
             round=jnp.int32(0),
             solved=jnp.zeros((L,), bool),
             trace=jnp.full((rounds, L), INF),
+            # Best validated path across rounds, by node indices (stable:
+            # nodes only append). Per-round validity resets (neighbor lists
+            # change) would otherwise let a later round report WORSE than an
+            # earlier one when repair exhausts before re-validating an
+            # equivalent path — the anytime contract is a running minimum.
+            best_cost=jnp.full((L,), INF),
+            best_seq=jnp.zeros((L, max_path), jnp.int32),
+            best_len=jnp.ones((L,), jnp.int32),
         )
 
         def round_cond(c):
@@ -656,8 +664,13 @@ def _make_fcit_knn(
             nbr_idx, nbr_dist = build_knn(s2, a2)
             validity = jnp.zeros((L, N, K), jnp.int8)  # lists changed: reset
             validity, _ = repair(nbr_idx, nbr_dist, validity, s2, a2)
-            gp, _ = lazy_sp(nbr_idx, nbr_dist, validity, a2, optimistic=False)
-            _, best_cost = goal_choice(gp)
+            gp, parent_p = lazy_sp(nbr_idx, nbr_dist, validity, a2, optimistic=False)
+            goal_idx, round_cost = goal_choice(gp)
+            seq, length = walk_path(parent_p, goal_idx)
+            improved = round_cost < c["best_cost"]
+            best_cost = jnp.where(improved, round_cost, c["best_cost"])
+            best_seq = jnp.where(improved[:, None], seq, c["best_seq"])
+            best_len = jnp.where(improved, length, c["best_len"])
             trace = lax.dynamic_update_slice(
                 c["trace"], best_cost[None, :], (c["round"], jnp.int32(0))
             )
@@ -672,16 +685,16 @@ def _make_fcit_knn(
                 round=c["round"] + 1,
                 solved=best_cost < INF,
                 trace=trace,
+                best_cost=best_cost,
+                best_seq=best_seq,
+                best_len=best_len,
             )
 
         carry = lax.while_loop(round_cond, round_body, carry)
 
-        g, parent = lazy_sp(
-            carry["nbr_idx"], carry["nbr_dist"], carry["validity"], carry["active"],
-            optimistic=False,
-        )
-        goal_idx, cost = goal_choice(g)
-        seq, length = walk_path(parent, goal_idx)
+        # best validated path across ALL rounds (node states never move)
+        cost = carry["best_cost"]
+        seq, length = carry["best_seq"], carry["best_len"]
         path = jnp.take_along_axis(carry["states"], seq[:, :, None], 1)
         solved = cost < INF
 

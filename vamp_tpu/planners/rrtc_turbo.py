@@ -661,3 +661,43 @@ def make_rrtc_turbo_batch(
         )
 
     return solve_batch
+
+
+def make_rrtc_simplify_batch(
+    spec: RobotSpec,
+    settings: RRTCSettings,
+    simplify_settings=None,
+    n_goals: int = 1,
+    max_path: int = 256,
+    connect_segs: int = 1,
+    line_check: bool = True,
+    chunk_states: int = 16,
+):
+    """One fused program: turbo solve THEN simplification, no intermediate
+    host hop. The single-query latency path pays the ~29 ms relay call floor
+    once for a usable (simplified) path instead of twice (reference users get
+    plan+simplify as their end-to-end time too — scripts/README.md:13 reports
+    'total' = plan + simplify).
+
+    Returns `run(starts, goals, goal_mask, envs, samplers?, group_id?) ->
+    (RRTCResult, SimplifyResult)`; unsolved lanes carry a trivial 2-point
+    path through simplification (cost reported 0 via the solved mask)."""
+    from ..utils.settings import SimplifySettings
+    from .simplify import make_simplify_batch
+
+    if simplify_settings is None:
+        simplify_settings = SimplifySettings()
+    solve = make_rrtc_turbo_batch(
+        spec, settings, n_goals, max_path, connect_segs, line_check=line_check
+    )
+    simplify = make_simplify_batch(
+        spec, simplify_settings, max_path=max_path, chunk_states=chunk_states
+    )
+
+    def run(starts, goals, goal_mask, envs, samplers=None, group_id=None):
+        res = solve(starts, goals, goal_mask, envs, samplers, None, None, group_id)
+        plen = jnp.maximum(res.path_length, 2)
+        sres = simplify(res.path, plen, envs)
+        return res, sres
+
+    return run
