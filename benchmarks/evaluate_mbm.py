@@ -91,6 +91,8 @@ def evaluate(
     filter_radius: float = 0.02,
     pc_lanes: int = 32,
     limit: int = 0,
+    connect_segs: int = 1,
+    unroll: int = 2,
 ):
     """With `timed`, each wave runs twice — once to compile/warm up, once for
     the measured wall time (results come from the timed run; the solver is
@@ -266,7 +268,14 @@ def evaluate(
             )
             # straight-line early-exit only in the very first wave: later
             # waves hold survivors that already failed it (turbo-only knob)
-            kw = {"line_check": wave == 0 and rep == 0} if turbo else {}
+            # unroll=2: two planner steps per while_loop iteration (measured
+            # +4% suite throughput; amortizes loop-cond + phase scheduling).
+            kw = (
+                {"line_check": wave == 0 and rep == 0,
+                 "connect_segs": connect_segs, "unroll": unroll}
+                if turbo
+                else {}
+            )
             solve = jax.jit(
                 make_solver(spec, settings, n_goals=G_max, max_path=path_caps, **kw)
             )

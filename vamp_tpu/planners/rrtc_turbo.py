@@ -77,6 +77,10 @@ import os as _os
 
 _DISABLE = set(filter(None, _os.environ.get("VAMP_TURBO_DISABLE", "").split(",")))
 _FIXED_STEPS = int(_os.environ.get("VAMP_TURBO_FIXED_STEPS", "0"))
+# Steps per while_loop iteration: >1 amortizes the loop-condition reduce +
+# phase scheduling across U body evaluations (the body is masked by `run`
+# internally, so an extra masked evaluation at the tail is harmless).
+_UNROLL = max(1, int(_os.environ.get("VAMP_TURBO_UNROLL", "1")))
 
 
 def _tile_states(max_dist: float, resolution: int) -> int:
@@ -92,6 +96,7 @@ def make_rrtc_turbo_batch(
     connect_segs: int = 1,
     hier: Optional[bool] = None,
     line_check: bool = True,
+    unroll: Optional[int] = None,
 ):
     """Build `solve_batch(starts (L,dim), goals (L,G,dim), goal_mask (L,G),
     envs, samplers?, base_rot?, base_pos?, group_id?) -> RRTCResult`.
@@ -107,6 +112,9 @@ def make_rrtc_turbo_batch(
     wave — they already failed it)."""
     if hier is None:
         hier = _os.environ.get("VAMP_TURBO_HIER", "0") == "1"
+    # Steps per while_loop iteration (measured +4% suite throughput at 2:
+    # amortizes the loop-cond reduce + phase scheduling; trades compile time).
+    U = _UNROLL if unroll is None else max(1, unroll)
     stage_thresh = int(_os.environ.get("VAMP_TURBO_STAGE_MIN", "2048"))
     # jnp.sin/cos instead of the reference's 16-op polynomial: one XLA op
     # each, more accurate; op count is what's priced on the target device.
@@ -276,10 +284,15 @@ def make_rrtc_turbo_batch(
             return budget & (~c["done"])
 
         def make_cond(cap):
+            # U unrolled body calls consume 2*U slots per loop iteration; the
+            # last call's 2-row write needs slot <= cap-2, so the entry bound
+            # tightens to cap - (2*U - 1).
+            bound = cap - (2 * U - 1)
+
             def cond(c):
                 if _FIXED_STEPS:
                     return c["step"] < _FIXED_STEPS
-                return jnp.any(running(c)) & (c["slot"] < cap - 1)
+                return jnp.any(running(c)) & (c["slot"] < bound)
 
             return cond
 
@@ -594,11 +607,16 @@ def make_rrtc_turbo_batch(
             )
             return c
 
+        def body_u(c):
+            for _ in range(U):
+                c = body(c)
+            return c
+
         out = carry
         for cap in stage_caps:
             if out["s2ab"].shape[1] < cap:
                 out = grow(out, cap)
-            out = lax.while_loop(make_cond(cap), body, out)
+            out = lax.while_loop(make_cond(cap), body_u, out)
 
         # -- path recovery --------------------------------------------------
         # tail_a is the junction node in tree_a; tail_b the connect target in
