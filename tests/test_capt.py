@@ -110,3 +110,35 @@ def test_capt_pad_and_stack_exact():
             )
         )
         assert np.array_equal(hb[:, l], hl)
+
+
+def test_capt_chunked_gather_matches_full(monkeypatch):
+    """The S-axis streaming path (gather budget exceeded) must agree with the
+    single row-gather path bit-for-bit, batched and unbatched."""
+    import vamp_tpu.ops.capt as capt_mod
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    c = build_capt(pts, 0.01, 0.16, 0.0025)
+    S, B = 13, 9
+    xs = jnp.asarray(rng.uniform(-1.2, 1.2, (S, B)).astype(np.float32))
+    ys = jnp.asarray(rng.uniform(-1.2, 1.2, (S, B)).astype(np.float32))
+    zs = jnp.asarray(rng.uniform(-1.2, 1.2, (S, B)).astype(np.float32))
+    r = jnp.full((S, B), 0.15)
+    full = np.asarray(capt_collides_bm(c, xs, ys, zs, r))
+    monkeypatch.setattr(capt_mod, "_GATHER_BUDGET", 64)  # force S chunking
+    chunked = np.asarray(capt_collides_bm(c, xs, ys, zs, r))
+    assert np.array_equal(full, chunked)
+
+    from vamp_tpu.ops.capt import stack_capts
+
+    st = stack_capts([c, build_capt(pts[:150], 0.01, 0.16, 0.0025)])
+    L = 2
+    xsl = jnp.asarray(rng.uniform(-1.2, 1.2, (S, 5, L)).astype(np.float32))
+    ysl = jnp.asarray(rng.uniform(-1.2, 1.2, (S, 5, L)).astype(np.float32))
+    zsl = jnp.asarray(rng.uniform(-1.2, 1.2, (S, 5, L)).astype(np.float32))
+    rl = jnp.full((S, 1, 1), 0.15)
+    chunked_b = np.asarray(capt_collides_bm(st, xsl, ysl, zsl, rl))
+    monkeypatch.setattr(capt_mod, "_GATHER_BUDGET", 16 * 1024 * 1024)
+    full_b = np.asarray(capt_collides_bm(st, xsl, ysl, zsl, rl))
+    assert np.array_equal(full_b, chunked_b)

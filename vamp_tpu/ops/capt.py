@@ -31,6 +31,10 @@ import jax.numpy as jnp
 
 FAR = 1.0e9
 
+# Affordance-gather temporary bound, in points resident at once (x3 coords
+# x4B => 192 MB). Shapes over this stream S-axis chunks (patchable in tests).
+_GATHER_BUDGET = 16 * 1024 * 1024
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -254,47 +258,74 @@ def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
         dsq = dsq + (c - cl) ** 2
     inb = inb & (dsq <= rsq)
 
-    # affordance-buffer scan: the (leaf, aff) axes flatten into one gather
-    # axis and a lax.fori_loop streams fixed-size affordance chunks — the
-    # gathered temporary is bounded at A_C points per query sphere AND the
-    # program size is constant in max_aff (a python chunk loop either OOMs
-    # on dense clouds or explodes compile time inside planner loops).
+    # affordance-buffer scan. Two formulations, picked by temporary size:
+    #
+    # (a) whole-leaf ROW gather (preferred): one jnp.take of complete
+    #     (max_aff, 3) leaf rows — each gathered element is a contiguous
+    #     12*max_aff-byte block, which the device services at near-stream
+    #     bandwidth. The 12-byte element gather this replaced ran at ~1 GB/s
+    #     effective and made CAPT planner steps ~100x slower than sphere-env
+    #     steps (round-4 measurement; long kernels are also what faults the
+    #     tunnel worker on big budgets).
+    #
+    # (b) lax.fori_loop streaming fixed-size element chunks when the row-
+    #     gather temporary would exceed the budget — bounded memory on dense
+    #     clouds, program size constant in max_aff.
     max_aff = capt.leaf_points.shape[-2]
     S = xs.shape[0]
     batch_elems = int(np.prod(xs.shape[1:])) if xs.ndim > 1 else 1
-    budget = 8 * 1024 * 1024  # gathered points per chunk (x3 coords x4B)
-    A_C = int(min(max_aff, max(budget // max(S * batch_elems, 1), 8)))
-    n_ac = -(-max_aff // A_C)
+    budget = _GATHER_BUDGET  # gathered points resident at once (x3 x4B)
     pts_all = capt.leaf_points
     nleaf = pts_all.shape[-3]
+    rsqb = jnp.broadcast_to(rsq, xs.shape)
     if batched:
         Lb = pts_all.shape[0]
-        flat = pts_all.reshape(Lb * nleaf * max_aff, 3)
-        base = (lane_of(z) * nleaf + z) * max_aff  # (S, *batch) linear
+        leaf_lin = lane_of(z) * nleaf + z  # (S, *batch) row index
+        rows = pts_all.reshape(Lb * nleaf, max_aff * 3)
     else:
-        flat = pts_all.reshape(nleaf * max_aff, 3)
-        base = z * max_aff
-    rsqb = jnp.broadcast_to(rsq, xs.shape)
-    aoff = jnp.arange(A_C, dtype=jnp.int32)
-    aoff = aoff.reshape((1,) * z.ndim + (A_C,))
+        leaf_lin = z
+        rows = pts_all.reshape(nleaf, max_aff * 3)
 
-    def aff_chunk(ai, acc):
-        # clamp the window so the last (ragged) chunk re-reads the final
-        # in-leaf points instead of spilling into the next leaf (duplicate
-        # distance checks are harmless; padded points are FAR sentinels)
-        a = jnp.minimum(ai * A_C + aoff, max_aff - 1)
-        lin = base[..., None] + a  # (S, *batch, A_C) linear indices
-        pts = jnp.take(flat, lin, axis=0)
+    if S * batch_elems * max_aff <= budget:
+        got = jnp.take(rows, leaf_lin, axis=0)  # (S, *batch, max_aff*3)
+        pts = got.reshape(got.shape[:-1] + (max_aff, 3))
         dx = pts[..., 0] - xs[..., None]
         dy = pts[..., 1] - ys[..., None]
         dz = pts[..., 2] - zs[..., None]
-        return acc | jnp.any(
-            dx * dx + dy * dy + dz * dz <= rsqb[..., None], axis=-1
-        )
+        hit = jnp.any(dx * dx + dy * dy + dz * dz <= rsqb[..., None], axis=-1)
+        return jnp.any(hit & inb, axis=0)
 
-    hit = jax.lax.fori_loop(0, n_ac, aff_chunk, jnp.zeros(xs.shape, bool))
-    hit = hit & inb
-    return jnp.any(hit, axis=0)
+    # Larger shapes stream fixed-size chunks of the leading S axis through
+    # the same row gather (a lax.fori_loop accumulating the axis-0 any-
+    # reduce), so memory stays bounded without ever degrading to the
+    # element gather. Ragged tail chunks re-read earlier rows (clamped
+    # window); duplicates are harmless under the OR-reduce.
+    S_C = int(min(S, max(budget // max(batch_elems * max_aff, 1), 1)))
+    n_sc = -(-S // S_C)
+
+    def take_s(a, s0):
+        return jax.lax.dynamic_slice_in_dim(a, s0, S_C, axis=0)
+
+    inb_full = inb
+    xs_b = jnp.broadcast_to(xs, (S,) + xs.shape[1:])
+    ys_b = jnp.broadcast_to(ys, xs.shape)
+    zs_b = jnp.broadcast_to(zs, xs.shape)
+
+    def s_chunk(si, acc):
+        s0 = jnp.clip(si * S_C, 0, S - S_C)
+        leaf_c = take_s(leaf_lin, s0)
+        got = jnp.take(rows, leaf_c, axis=0)  # (S_C, *batch, max_aff*3)
+        pts = got.reshape(got.shape[:-1] + (max_aff, 3))
+        dx = pts[..., 0] - take_s(xs_b, s0)[..., None]
+        dy = pts[..., 1] - take_s(ys_b, s0)[..., None]
+        dz = pts[..., 2] - take_s(zs_b, s0)[..., None]
+        rc = take_s(jnp.broadcast_to(rsqb, xs.shape), s0)
+        hit_c = jnp.any(dx * dx + dy * dy + dz * dz <= rc[..., None], axis=-1)
+        return acc | jnp.any(hit_c & take_s(inb_full, s0), axis=0)
+
+    return jax.lax.fori_loop(
+        0, n_sc, s_chunk, jnp.zeros(xs.shape[1:], bool)
+    )
 
 
 def capt_collides(capt: CAPT, centers, radii):
