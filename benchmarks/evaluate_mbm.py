@@ -227,8 +227,12 @@ def evaluate(
     solve_timed = 0.0
     wave_stats = []
 
+    from vamp_tpu.utils.profiling import annotate, trace as device_trace
+
     t0 = time.perf_counter()
     rotation = 0  # racing-stream rotation cursor (fresh streams per repeat)
+    trace_cm = device_trace()  # no-op unless VAMP_TRACE_DIR is set
+    trace_cm.__enter__()
     for wave, (max_iter, max_samp, K_max, L_max, repeats) in enumerate(waves):
         for rep in range(repeats):
             if len(pending) == 0:
@@ -292,7 +296,10 @@ def evaluate(
                 for pos, i in enumerate(sub):
                     lane_prob[pos * K : (pos + 1) * K] = i
                     lane_group[pos * K : (pos + 1) * K] = pos
-                idx = np.where(lane_prob >= 0, lane_prob, 0)
+                # padding lanes carry a problem from THIS chunk: global
+                # problem 0 may exceed the per-wave CAPT maxima (n2_w/aff_w
+                # are computed over pending problems only)
+                idx = np.where(lane_prob >= 0, lane_prob, sub[0])
                 lane_live = lane_prob >= 0
                 # padding lanes: singleton groups past the live ones
                 lane_group[~lane_live] = P + np.arange(int((~lane_live).sum()))
@@ -331,8 +338,9 @@ def evaluate(
                     np.asarray(solve(*args).solved)
                     warmed = True
                 tw = time.perf_counter()
-                res = solve(*args)
-                ok = np.asarray(res.solved)
+                with annotate(f"wave{wave}.{rep}"):
+                    res = solve(*args)
+                    ok = np.asarray(res.solved)
                 wave_time += time.perf_counter() - tw
                 ok = ok & lane_live
                 res_paths = np.asarray(res.path)
@@ -365,6 +373,7 @@ def evaluate(
             rotation += K
         if len(pending) == 0:
             break
+    trace_cm.__exit__(None, None, None)
     solve_time = time.perf_counter() - t0
 
     # -- batched simplification on all solved paths (256-lane slices) -------
