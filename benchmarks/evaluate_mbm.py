@@ -93,6 +93,7 @@ def evaluate(
     limit: int = 0,
     connect_segs: int = 1,
     unroll: int = 2,
+    nn_bf16: bool = False,
 ):
     """With `timed`, each wave runs twice — once to compile/warm up, once for
     the measured wall time (results come from the timed run; the solver is
@@ -193,10 +194,24 @@ def evaluate(
     CH = pc_lanes if pointcloud else n_total
     sv = np.zeros(n_total, bool)
     gv = np.zeros((n_total, G_max), bool)
+    if pointcloud:
+        # size-sorted chunks at per-chunk tree maxima (same rationale as the
+        # wave loop: global-maxima padding dominated the round-4 wall time)
+        v_order = sorted(
+            range(n_total),
+            key=lambda i: (raw_capts[i].nlog2, raw_capts[i].leaf_points.shape[1]),
+        )
+    else:
+        v_order = list(range(n_total))
     for c0 in range(0, n_total, CH):
-        ids = list(range(c0, min(c0 + CH, n_total)))
+        ids = [int(i) for i in v_order[c0 : c0 + CH]]
         ids_p = ids + [ids[0]] * (CH - len(ids))  # pad: one compile shape
-        envs_c = envs_for(ids_p)
+        if pointcloud:
+            n2_c = max(raw_capts[i].nlog2 for i in ids)
+            aff_c = -(-max(raw_capts[i].leaf_points.shape[1] for i in ids) // 64) * 64
+            envs_c = envs_for(ids_p, n2_c, aff_c)
+        else:
+            envs_c = envs_for(ids_p)
         sv_c = np.asarray(
             fkccp(jnp.asarray(starts[ids_p].T)[:, None, :], envs_c, None, None)
         )[0]
@@ -233,147 +248,171 @@ def evaluate(
     rotation = 0  # racing-stream rotation cursor (fresh streams per repeat)
     trace_cm = device_trace()  # no-op unless VAMP_TRACE_DIR is set
     trace_cm.__enter__()
-    for wave, (max_iter, max_samp, K_max, L_max, repeats) in enumerate(waves):
-        for rep in range(repeats):
+    try:
+        for wave, (max_iter, max_samp, K_max, L_max, repeats) in enumerate(waves):
+            for rep in range(repeats):
+                if len(pending) == 0:
+                    break
+                Pw = len(pending)
+                # racing: survivors re-batch with K independent sample streams
+                # each — lanes are nearly free on TPU next to sequential steps,
+                # so wide-and-shallow beats narrow-and-deep for the tail.
+                if pointcloud:
+                    # lane-chunked: at ~90 MB of CAPT per lane, a call can hold
+                    # at most pc_lanes lanes; a wave runs as ceil(P/ppc) calls
+                    # (replica groups never split). Chunks are SIZE-SORTED and
+                    # padded to their OWN maxima (aff quantized to 64 so only a
+                    # handful of distinct shapes compile): padding every
+                    # problem to the wave maxima tripled host padding + tunnel
+                    # transfer + device descent cost, and was why the round-4
+                    # full-suite run never completed.
+                    Lc = min(pc_lanes, L_max)
+                    K = max(1, min(K_max, Lc // min(Pw, Lc)))
+                    ppc = max(1, Lc // K)
+                    order = sorted(
+                        pending,
+                        key=lambda i: (
+                            raw_capts[i].nlog2,
+                            raw_capts[i].leaf_points.shape[1],
+                        ),
+                    )
+                    chunks = [
+                        np.asarray(order[o : o + ppc], np.int64)
+                        for o in range(0, Pw, ppc)
+                    ]
+                else:
+                    K = max(1, min(L_max // Pw, K_max))
+                    chunks = [pending]
+                    from vamp_tpu.env import max_class_counts
+
+                    wcaps = max_class_counts([env_objs[i] for i in pending])
+                    packed_w = {
+                        int(i): env_objs[i].pack(quantum=1, capacities=wcaps)
+                        for i in pending
+                    }
+
+                settings = RRTCSettings(
+                    range=vamp.ROBOT_RRT_RANGES.get(robot, 2.0),
+                    max_iterations=max_iter,
+                    max_samples=max_samp,
+                )
+                # straight-line early-exit only in the very first wave: later
+                # waves hold survivors that already failed it (turbo-only knob)
+                # unroll=2: two planner steps per while_loop iteration (measured
+                # +4% suite throughput; amortizes loop-cond + phase scheduling).
+                kw = (
+                    {"line_check": wave == 0 and rep == 0,
+                     "connect_segs": connect_segs, "unroll": unroll}
+                    if turbo
+                    else {}
+                )
+                solve = jax.jit(
+                    make_solver(spec, settings, n_goals=G_max, max_path=path_caps, **kw)
+                )
+                wave_time = 0.0
+                warmed_shapes = set()
+                for sub in chunks:
+                    P = len(sub)
+                    if pointcloud:
+                        L = -(-(ppc * K) // 8) * 8  # fixed shape across chunks
+                    else:
+                        L = min(L_max, -(-(P * K) // 64) * 64)
+                    lane_prob = np.full(L, -1, np.int64)
+                    lane_group = np.full(L, -1, np.int64)
+                    for pos, i in enumerate(sub):
+                        lane_prob[pos * K : (pos + 1) * K] = i
+                        lane_group[pos * K : (pos + 1) * K] = pos
+                    # padding lanes carry a problem from THIS chunk: global
+                    # problem 0 may exceed the per-wave CAPT maxima (n2_w/aff_w
+                    # are computed over pending problems only)
+                    idx = np.where(lane_prob >= 0, lane_prob, sub[0])
+                    lane_live = lane_prob >= 0
+                    # padding lanes: singleton groups past the live ones
+                    lane_group[~lane_live] = P + np.arange(int((~lane_live).sum()))
+                    replica = np.arange(L) % K + rotation
+                    if rep == 0 and rotation == 0:
+                        replica = np.arange(L) % K  # replica 0 = canonical stream
+
+                    if pointcloud:
+                        # per-chunk tree shape (chunks are size-sorted)
+                        n2_c = max(raw_capts[i].nlog2 for i in sub)
+                        aff_c = max(
+                            raw_capts[i].leaf_points.shape[1] for i in sub
+                        )
+                        aff_c = -(-aff_c // 64) * 64
+                        envs_w = envs_for(idx.tolist(), n2_c, aff_c)
+                        shape_key = (n2_c, aff_c, L)
+                    else:
+                        shape_key = ()
+                        # tight per-wave capacities: the suite-wide caps pad the
+                        # median problem's live shapes with dead slots that still
+                        # cost full env-sweep work; survivors repack at exactly
+                        # this wave's maxima
+                        fill = int(sub[0])
+                        envs_w = jax.tree.map(
+                            lambda *xs: jnp.stack(xs),
+                            *[packed_w[int(i) if lane_live[k] else fill]
+                              for k, i in enumerate(idx)],
+                        )
+                    args = (
+                        jnp.asarray(starts[idx]),
+                        jnp.asarray(goals[idx]),  # (L, G_max, dim), full goal lists
+                        jnp.asarray(gmask[idx] & lane_live[:, None]),
+                        envs_w,
+                        racing_samplers(dim, L, replica),
+                    )
+                    if turbo:
+                        # racing-replica groups: a problem's first winner stops its
+                        # siblings (planners/rrtc_turbo.py solve_batch group_id)
+                        args = args + (None, None, jnp.asarray(lane_group, jnp.int32))
+                    if timed and shape_key not in warmed_shapes:
+                        # compile + warm; np.asarray forces a real device round
+                        # trip (block_until_ready alone returns early on some
+                        # backends); later chunks of the same shape share the
+                        # executable
+                        np.asarray(solve(*args).solved)
+                        warmed_shapes.add(shape_key)
+                    tw = time.perf_counter()
+                    with annotate(f"wave{wave}.{rep}"):
+                        res = solve(*args)
+                        ok = np.asarray(res.solved)
+                    wave_time += time.perf_counter() - tw
+                    ok = ok & lane_live
+                    res_paths = np.asarray(res.path)
+                    res_lens = np.asarray(res.path_length)
+                    res_cost = np.asarray(res.cost)
+                    res_iter = np.asarray(res.iterations)
+                    for pos, i in enumerate(sub):
+                        lanes = np.arange(pos * K, (pos + 1) * K)
+                        winners = lanes[ok[lanes]]
+                        if len(winners) == 0:
+                            continue
+                        j = winners[0]  # smallest replica
+                        solved[i] = True
+                        costs[i] = float(res_cost[j])
+                        iters[i] = int(res_iter[j])
+                        paths[i] = res_paths[j][: res_lens[j]]
+                solve_timed += wave_time
+                pending = np.array([i for i in pending if not solved[i]], np.int64)
+                wave_stats.append(
+                    dict(wave=wave, rep=rep, budget=max_iter, K=K,
+                         calls=len(chunks), time_s=wave_time,
+                         solved=Pw - len(pending), of=Pw)
+                )
+                if not quiet:
+                    print(
+                        f"wave {wave}.{rep}: budget {max_iter}, {len(chunks)} "
+                        f"call(s) x{K} streams, solved {Pw - len(pending)}/{Pw} "
+                        f"in {wave_time*1e3:.0f}ms, remaining {len(pending)}"
+                    )
+                rotation += K
             if len(pending) == 0:
                 break
-            Pw = len(pending)
-            # racing: survivors re-batch with K independent sample streams
-            # each — lanes are nearly free on TPU next to sequential steps,
-            # so wide-and-shallow beats narrow-and-deep for the tail.
-            if pointcloud:
-                # lane-chunked: at ~90 MB of CAPT per lane, a call can hold
-                # at most pc_lanes lanes; a wave runs as ceil(P/ppc) calls of
-                # identical shape (one compile; replica groups never split)
-                Lc = min(pc_lanes, L_max)
-                K = max(1, min(K_max, Lc // min(Pw, Lc)))
-                ppc = max(1, Lc // K)
-                chunks = [
-                    pending[o : o + ppc] for o in range(0, Pw, ppc)
-                ]
-                n2_w = max(raw_capts[i].nlog2 for i in pending)
-                aff_w = max(raw_capts[i].leaf_points.shape[1] for i in pending)
-            else:
-                K = max(1, min(L_max // Pw, K_max))
-                chunks = [pending]
-                n2_w = aff_w = None
-                from vamp_tpu.env import max_class_counts
-
-                wcaps = max_class_counts([env_objs[i] for i in pending])
-                packed_w = {
-                    int(i): env_objs[i].pack(quantum=1, capacities=wcaps)
-                    for i in pending
-                }
-
-            settings = RRTCSettings(
-                range=vamp.ROBOT_RRT_RANGES.get(robot, 2.0),
-                max_iterations=max_iter,
-                max_samples=max_samp,
-            )
-            # straight-line early-exit only in the very first wave: later
-            # waves hold survivors that already failed it (turbo-only knob)
-            # unroll=2: two planner steps per while_loop iteration (measured
-            # +4% suite throughput; amortizes loop-cond + phase scheduling).
-            kw = (
-                {"line_check": wave == 0 and rep == 0,
-                 "connect_segs": connect_segs, "unroll": unroll}
-                if turbo
-                else {}
-            )
-            solve = jax.jit(
-                make_solver(spec, settings, n_goals=G_max, max_path=path_caps, **kw)
-            )
-            wave_time = 0.0
-            warmed = False
-            for sub in chunks:
-                P = len(sub)
-                if pointcloud:
-                    L = -(-(ppc * K) // 8) * 8  # fixed shape across chunks
-                else:
-                    L = min(L_max, -(-(P * K) // 64) * 64)
-                lane_prob = np.full(L, -1, np.int64)
-                lane_group = np.full(L, -1, np.int64)
-                for pos, i in enumerate(sub):
-                    lane_prob[pos * K : (pos + 1) * K] = i
-                    lane_group[pos * K : (pos + 1) * K] = pos
-                # padding lanes carry a problem from THIS chunk: global
-                # problem 0 may exceed the per-wave CAPT maxima (n2_w/aff_w
-                # are computed over pending problems only)
-                idx = np.where(lane_prob >= 0, lane_prob, sub[0])
-                lane_live = lane_prob >= 0
-                # padding lanes: singleton groups past the live ones
-                lane_group[~lane_live] = P + np.arange(int((~lane_live).sum()))
-                replica = np.arange(L) % K + rotation
-                if rep == 0 and rotation == 0:
-                    replica = np.arange(L) % K  # replica 0 = canonical stream
-
-                if pointcloud:
-                    envs_w = envs_for(idx.tolist(), n2_w, aff_w)
-                else:
-                    # tight per-wave capacities: the suite-wide caps pad the
-                    # median problem's live shapes with dead slots that still
-                    # cost full env-sweep work; survivors repack at exactly
-                    # this wave's maxima
-                    fill = int(sub[0])
-                    envs_w = jax.tree.map(
-                        lambda *xs: jnp.stack(xs),
-                        *[packed_w[int(i) if lane_live[k] else fill]
-                          for k, i in enumerate(idx)],
-                    )
-                args = (
-                    jnp.asarray(starts[idx]),
-                    jnp.asarray(goals[idx]),  # (L, G_max, dim), full goal lists
-                    jnp.asarray(gmask[idx] & lane_live[:, None]),
-                    envs_w,
-                    racing_samplers(dim, L, replica),
-                )
-                if turbo:
-                    # racing-replica groups: a problem's first winner stops its
-                    # siblings (planners/rrtc_turbo.py solve_batch group_id)
-                    args = args + (None, None, jnp.asarray(lane_group, jnp.int32))
-                if timed and not warmed:
-                    # compile + warm; np.asarray forces a real device round
-                    # trip (block_until_ready alone returns early on some
-                    # backends); later chunks share the executable
-                    np.asarray(solve(*args).solved)
-                    warmed = True
-                tw = time.perf_counter()
-                with annotate(f"wave{wave}.{rep}"):
-                    res = solve(*args)
-                    ok = np.asarray(res.solved)
-                wave_time += time.perf_counter() - tw
-                ok = ok & lane_live
-                res_paths = np.asarray(res.path)
-                res_lens = np.asarray(res.path_length)
-                res_cost = np.asarray(res.cost)
-                res_iter = np.asarray(res.iterations)
-                for pos, i in enumerate(sub):
-                    lanes = np.arange(pos * K, (pos + 1) * K)
-                    winners = lanes[ok[lanes]]
-                    if len(winners) == 0:
-                        continue
-                    j = winners[0]  # smallest replica
-                    solved[i] = True
-                    costs[i] = float(res_cost[j])
-                    iters[i] = int(res_iter[j])
-                    paths[i] = res_paths[j][: res_lens[j]]
-            solve_timed += wave_time
-            pending = np.array([i for i in pending if not solved[i]], np.int64)
-            wave_stats.append(
-                dict(wave=wave, rep=rep, budget=max_iter, K=K,
-                     calls=len(chunks), time_s=wave_time,
-                     solved=Pw - len(pending), of=Pw)
-            )
-            if not quiet:
-                print(
-                    f"wave {wave}.{rep}: budget {max_iter}, {len(chunks)} "
-                    f"call(s) x{K} streams, solved {Pw - len(pending)}/{Pw} "
-                    f"in {wave_time*1e3:.0f}ms, remaining {len(pending)}"
-                )
-            rotation += K
-        if len(pending) == 0:
-            break
-    trace_cm.__exit__(None, None, None)
+    finally:
+        # tracing must stop even if a wave call faults (a tunnel worker
+        # crash mid-suite otherwise leaves jax.profiler tracing active,
+        # corrupting the trace and breaking the next trace() start).
+        trace_cm.__exit__(None, None, None)
     solve_time = time.perf_counter() - t0
 
     # -- batched simplification on all solved paths (256-lane slices) -------

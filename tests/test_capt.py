@@ -142,3 +142,32 @@ def test_capt_chunked_gather_matches_full(monkeypatch):
     monkeypatch.setattr(capt_mod, "_GATHER_BUDGET", 16 * 1024 * 1024)
     full_b = np.asarray(capt_collides_bm(st, xsl, ysl, zsl, rl))
     assert np.array_equal(full_b, chunked_b)
+
+
+@pytest.mark.parametrize("n_points", [5, 300])
+def test_capt_numpy_fallback_builder(n_points, monkeypatch):
+    """build_capt must produce a correct tree through the pure-numpy builder
+    when the native library is unavailable (the documented degradation path —
+    native/__init__.py returns None without a toolchain)."""
+    import vamp_tpu.native as native
+
+    monkeypatch.setattr(native, "native_capt_build", lambda *a, **k: None)
+    rng = np.random.RandomState(7 + n_points)
+    points = rng.uniform(-1, 1, (n_points, 3)).astype(np.float32)
+    r_min, r_max, r_point = 0.01, 0.3, 0.0025
+    capt = build_capt(points, r_min, r_max, r_point)
+
+    B = 256
+    centers = rng.uniform(-1.2, 1.2, (B, 3)).astype(np.float32)
+    radii = rng.uniform(r_min, r_max, B).astype(np.float32)
+    expected = brute_force(points, centers, radii, r_point)
+    got = np.asarray(
+        jax.jit(capt_collides_bm)(
+            capt,
+            jnp.asarray(centers[:, 0])[None],
+            jnp.asarray(centers[:, 1])[None],
+            jnp.asarray(centers[:, 2])[None],
+            jnp.asarray(radii)[None],
+        )
+    )
+    np.testing.assert_array_equal(got, expected)

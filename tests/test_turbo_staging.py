@@ -105,3 +105,69 @@ def test_unroll_equals_single_step():
     )
     np.testing.assert_array_equal(np.asarray(one.path), np.asarray(two.path))
     np.testing.assert_array_equal(np.asarray(one.cost), np.asarray(two.cost))
+
+
+def test_unroll_equals_single_step_slot_bound():
+    """When SLOT EXHAUSTION (not running()) terminates the loop, the unrolled
+    program must still consume the full U=1 step budget: the residual
+    single-step loop after the final stage restores the exact slot < cap-1
+    bound (advisor round-4 finding — without it up to U-1 trailing steps are
+    stranded and a borderline problem can flip solved<->unsolved between
+    unroll settings)."""
+    spec = load_robot("panda")
+    e = Environment()
+    for c in CAGE:
+        e.add_sphere(Sphere(c, 0.2))
+    # goal buried inside an obstacle: no connect edge ever validates, so
+    # every lane runs to slot exhaustion
+    e.add_sphere(Sphere([0.55, 0, 0.25], 0.35))
+    env = e.pack()
+
+    start = jnp.asarray([0, -0.785, 0, -2.356, 0, 1.571, 0.785], jnp.float32)
+    goal = jnp.asarray([0.0, 0.9, 0.0, -0.9, 0.0, 1.8, 0.0], jnp.float32)
+    L = 4
+    args = (
+        jnp.broadcast_to(start, (L, 7)),
+        jnp.broadcast_to(goal, (L, 1, 7)),
+        jnp.ones((L, 1), bool),
+        env,
+        halton_skip_batch(
+            halton_init_batch(7, L), jnp.arange(L, dtype=jnp.int32) * 1013
+        ),
+    )
+    # max_samples deliberately NOT a multiple of 2U, iterations >> what the
+    # slots allow: the slot cap is the terminating condition on every lane
+    settings = RRTCSettings(range=1.0, max_iterations=10_000, max_samples=257)
+
+    def run(u):
+        solve = jax.jit(
+            rrtc_turbo.make_rrtc_turbo_batch(spec, settings, 1, 64, unroll=u)
+        )
+        return solve(*args)
+
+    one = run(1)
+    two = run(2)
+    np.testing.assert_array_equal(
+        np.asarray(one.iterations), np.asarray(two.iterations)
+    )
+    np.testing.assert_array_equal(np.asarray(one.solved), np.asarray(two.solved))
+    np.testing.assert_array_equal(
+        np.asarray(one.tree_sizes), np.asarray(two.tree_sizes)
+    )
+
+
+def test_turbo_profiling_knob_warning():
+    """A leaked VAMP_TURBO_DISABLE / VAMP_TURBO_FIXED_STEPS must warn loudly
+    at import (same treatment as VAMP_FKCC_DISABLE, ops/fkcc_bm.py)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, VAMP_TURBO_FIXED_STEPS="7")
+    env.pop("VAMP_TURBO_DISABLE", None)
+    r = subprocess.run(
+        [sys.executable, "-c", "import vamp_tpu.planners.rrtc_turbo"],
+        env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "PROFILING mode" in r.stderr and "fixed_steps=7" in r.stderr

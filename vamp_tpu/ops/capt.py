@@ -31,9 +31,14 @@ import jax.numpy as jnp
 
 FAR = 1.0e9
 
-# Affordance-gather temporary bound, in points resident at once (x3 coords
-# x4B => 192 MB). Shapes over this stream S-axis chunks (patchable in tests).
-_GATHER_BUDGET = 16 * 1024 * 1024
+# Affordance-gather bound, in points resident at once. Peak live memory is
+# NOT just the 12 B/point gathered rows: with no cross-op fusion on this
+# device the dx/dy/dz differences (12 B/pt), their squares (12 B/pt), and the
+# pre-reduce hit mask (~1 B/pt) all materialize too — ~37 B/point live, so
+# 6 Mi points ~= 230 MB peak (comparable to the old 8 Mi-element chunked
+# scan's bound; advisor round-4 finding). Shapes over this stream S-axis
+# chunks with identical per-chunk temporaries (patchable in tests).
+_GATHER_BUDGET = 6 * 1024 * 1024
 
 
 @jax.tree_util.register_dataclass

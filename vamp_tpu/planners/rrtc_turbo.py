@@ -77,6 +77,20 @@ import os as _os
 
 _DISABLE = set(filter(None, _os.environ.get("VAMP_TURBO_DISABLE", "").split(",")))
 _FIXED_STEPS = int(_os.environ.get("VAMP_TURBO_FIXED_STEPS", "0"))
+if _DISABLE or _FIXED_STEPS:
+    # Same loud-warning treatment as VAMP_FKCC_DISABLE (ops/fkcc_bm.py): these
+    # knobs exist only for benchmarks/step_profile.py ablation and CHANGE
+    # RESULTS — a leaked value silently stubs out planner phases or truncates
+    # every solve at a fixed step count.
+    import warnings as _warnings
+
+    _warnings.warn(
+        "VAMP_TURBO_DISABLE/VAMP_TURBO_FIXED_STEPS are set "
+        f"(disable={sorted(_DISABLE)!r}, fixed_steps={_FIXED_STEPS}): "
+        "rrtc_turbo is running in PROFILING mode and will return wrong or "
+        "truncated planning results. Unset these outside step_profile runs.",
+        stacklevel=2,
+    )
 # Steps per while_loop iteration: >1 amortizes the loop-condition reduce +
 # phase scheduling across U body evaluations (the body is masked by `run`
 # internally, so an extra masked evaluation at the tail is harmless).
@@ -97,6 +111,7 @@ def make_rrtc_turbo_batch(
     hier: Optional[bool] = None,
     line_check: bool = True,
     unroll: Optional[int] = None,
+    nn_bf16: bool = False,
 ):
     """Build `solve_batch(starts (L,dim), goals (L,G,dim), goal_mask (L,G),
     envs, samplers?, base_rot?, base_pos?, group_id?) -> RRTCResult`.
@@ -109,7 +124,17 @@ def make_rrtc_turbo_batch(
     rejects the edge (it auto-falls back to dense for env features the
     hierarchy does not cover). `line_check=False` skips the straight-line
     early exit (for wave harnesses whose lanes are survivors of an earlier
-    wave — they already failed it)."""
+    wave — they already failed it).
+
+    `nn_bf16` keeps the NN sweep's sentinel-norm surface and a mirror of the
+    tree states in bfloat16 — halves the dominant per-step HBM read (the
+    (dim, N, L) dot + (2, N, L) argmin surface). Geometry, edge validation,
+    and the gathered configurations stay float32, so every returned path is
+    still validated at the exact reference check set; only WHICH near node
+    the argmin picks can differ among nodes within ~bf16 resolution
+    (~0.25 rad^2 at panda-scale norms) of the true nearest — a documented
+    turbo deviation (this solver already trades stream parity for
+    throughput; use planners/rrtc.py for reference parity)."""
     if hier is None:
         hier = _os.environ.get("VAMP_TURBO_HIER", "0") == "1"
     # Steps per while_loop iteration (measured +4% suite throughput at 2:
@@ -243,10 +268,14 @@ def make_rrtc_turbo_batch(
         # Both trees' sentinel-norm arrays in ONE (2, N, L) buffer: one argmin
         # and one contiguous insert write instead of two of each (serialized
         # phases are what per-step cost is made of on this device).
-        s2ab = jnp.full((2, N0, L), BIG)
-        s2ab = lax.dynamic_update_slice(s2ab, start_sq[None, None, :], (0, 0, 0))
+        # With nn_bf16 this surface lives in bfloat16 (docstring).
+        nn_dt = jnp.bfloat16 if nn_bf16 else jnp.float32
+        s2ab = jnp.full((2, N0, L), BIG, nn_dt)
         s2ab = lax.dynamic_update_slice(
-            s2ab, jnp.where(goal_mask, goal_sq, BIG).T[None], (1, 1, 0)
+            s2ab, start_sq[None, None, :].astype(nn_dt), (0, 0, 0)
+        )
+        s2ab = lax.dynamic_update_slice(
+            s2ab, jnp.where(goal_mask, goal_sq, BIG).T[None].astype(nn_dt), (1, 1, 0)
         )
 
         parents = jnp.broadcast_to(jnp.arange(N0, dtype=jnp.int32)[:, None], (N0, L))
@@ -255,6 +284,7 @@ def make_rrtc_turbo_batch(
         carry = dict(
             states=states,
             s2ab=s2ab,
+            **({"states_bf": states.astype(jnp.bfloat16)} if nn_bf16 else {}),
             parents=parents,
             radii=radii,
             slot=jnp.int32(1 + G),
@@ -291,7 +321,9 @@ def make_rrtc_turbo_batch(
 
             def cond(c):
                 if _FIXED_STEPS:
-                    return c["step"] < _FIXED_STEPS
+                    # Slot guard still applies: an odd _FIXED_STEPS with U>1
+                    # must not write past cap (advisor round-4 finding).
+                    return (c["step"] < _FIXED_STEPS) & (c["slot"] < bound)
                 return jnp.any(running(c)) & (c["slot"] < bound)
 
             return cond
@@ -307,6 +339,7 @@ def make_rrtc_turbo_batch(
 
         def body(c):
             states = c["states"]
+            states_bf = c.get("states_bf")
             s2ab = c["s2ab"]
             parents, radii = c["parents"], c["radii"]
             slot, sizes, tree_a = c["slot"], c["sizes"], c["tree_a"]
@@ -355,6 +388,17 @@ def make_rrtc_turbo_batch(
             if "nn" in _DISABLE:
                 near_idx = jnp.zeros((L,), jnp.int32)
                 arg_a = arg_b = near_idx
+            elif nn_bf16:
+                # half-width sweep: bf16 mirror dot + bf16 surface; q2 is a
+                # per-lane constant so it cannot change the argmin — dropped
+                dot = jnp.sum(
+                    c["states_bf"] * sample.astype(jnp.bfloat16)[:, None, :],
+                    axis=0,
+                )  # (N, L) bf16
+                sq = s2ab - 2.0 * dot[None]  # (2, N, L) bf16
+                args2 = jnp.argmin(sq, axis=1).astype(jnp.int32)  # (2, L)
+                arg_a, arg_b = args2[0], args2[1]
+                near_idx = jnp.where(in_a_sel, arg_a, arg_b)
             else:
                 dot = jnp.sum(states * sample[:, None, :], axis=0)  # (N, L)
                 q2 = jnp.sum(sample * sample, axis=0)
@@ -515,7 +559,15 @@ def make_rrtc_turbo_batch(
                 rows2 = jnp.where(
                     ins2[None] & tsel[:, None], nsq2[None], BIG
                 )  # (2trees, 2slots, L): ONE write covers both trees
-                s2ab = lax.dynamic_update_slice(s2ab, rows2, (0, slot, 0))
+                s2ab = lax.dynamic_update_slice(
+                    s2ab, rows2.astype(s2ab.dtype), (0, slot, 0)
+                )
+                if nn_bf16:
+                    # mirror write: independent of the other updates, so it
+                    # shares their phase (tiny bytes, no extra latency)
+                    states_bf = lax.dynamic_update_slice(
+                        states_bf, rows.astype(jnp.bfloat16), (0, slot, 0)
+                    )
                 # Inactive slots self-parent so a path walk can't escape them.
                 parents = lax.dynamic_update_slice(
                     parents,
@@ -560,6 +612,7 @@ def make_rrtc_turbo_batch(
                 step=c["step"] + 1,
                 states=states,
                 s2ab=s2ab,
+                **({"states_bf": states_bf} if nn_bf16 else {}),
                 parents=parents,
                 radii=radii,
                 slot=slot_next,
@@ -590,8 +643,13 @@ def make_rrtc_turbo_batch(
             c["states"] = jnp.concatenate(
                 [c["states"], jnp.zeros((dim, pad, L), jnp.float32)], axis=1
             )
+            if nn_bf16:
+                c["states_bf"] = jnp.concatenate(
+                    [c["states_bf"], jnp.zeros((dim, pad, L), jnp.bfloat16)],
+                    axis=1,
+                )
             c["s2ab"] = jnp.concatenate(
-                [c["s2ab"], jnp.full((2, pad, L), BIG)], axis=1
+                [c["s2ab"], jnp.full((2, pad, L), BIG, c["s2ab"].dtype)], axis=1
             )
             c["parents"] = jnp.concatenate(
                 [
@@ -617,6 +675,19 @@ def make_rrtc_turbo_batch(
             if out["s2ab"].shape[1] < cap:
                 out = grow(out, cap)
             out = lax.while_loop(make_cond(cap), body_u, out)
+        if U > 1 and not _FIXED_STEPS:
+            # Residual single-step loop at the final capacity: the unrolled
+            # loop exits at slot >= cap-(2U-1), stranding up to U-1 body steps
+            # of budget when slot exhaustion (not running()) terminates — a
+            # borderline problem could flip solved<->unsolved between unroll
+            # settings (advisor round-4 finding). This restores the exact
+            # U=1 trajectory bound (slot < cap-1) for any unroll.
+            cap = stage_caps[-1]
+
+            def cond_res(c):
+                return jnp.any(running(c)) & (c["slot"] < cap - 1)
+
+            out = lax.while_loop(cond_res, body, out)
 
         # -- path recovery --------------------------------------------------
         # tail_a is the junction node in tree_a; tail_b the connect target in
