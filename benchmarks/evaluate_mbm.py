@@ -302,7 +302,8 @@ def evaluate(
                 # +4% suite throughput; amortizes loop-cond + phase scheduling).
                 kw = (
                     {"line_check": wave == 0 and rep == 0,
-                     "connect_segs": connect_segs, "unroll": unroll}
+                     "connect_segs": connect_segs, "unroll": unroll,
+                     "nn_bf16": nn_bf16}
                     if turbo
                     else {}
                 )

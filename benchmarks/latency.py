@@ -81,13 +81,17 @@ def main():
         [vamp.problem_dict_to_vamp(problems[pi]) for pi in picks]
     )
 
-    def run_mode(L, fused):
+    def run_mode(L, fused, lite=False):
         """fused=True: ONE program runs solve AND simplification (the
         round-4 latency mode — a single relay round trip returns a usable
         simplified path; reference 'total' semantics, scripts/README.md:13).
+        lite=True swaps in the shortcut-DP simplify (round 5: the full
+        pipeline's serialized cursor phases tripled fused latency).
         fused=False: solve only (continuity with earlier rounds)."""
         if fused:
-            fn = jax.jit(make_rrtc_simplify_batch(spec, settings, None, 1, 256))
+            fn = jax.jit(
+                make_rrtc_simplify_batch(spec, settings, None, 1, 256, lite=lite)
+            )
         else:
             fn = jax.jit(make_rrtc_turbo_batch(spec, settings, 1, 256))
         lat, solved, warm = [], 0, False
@@ -126,9 +130,16 @@ def main():
 
     out = {"relay_floor_us": round(floor_us, 1), "reference_median_us": 35.0,
            "reference_total_median_us": 99.0}
-    for L, fused in ((1, False), (8, False), (8, True)):
-        lat, solved = run_mode(L, fused)
-        key = f"L{L}_fused" if fused else f"L{L}"
+    for L, fused, lite in (
+        (1, False, False),
+        (8, False, False),
+        (32, False, False),
+        (8, True, False),
+        (8, True, True),
+        (32, True, True),
+    ):
+        lat, solved = run_mode(L, fused, lite)
+        key = f"L{L}_fused_lite" if lite else (f"L{L}_fused" if fused else f"L{L}")
         out[key] = {
             "median_us": round(float(np.median(lat)), 1),
             "mean_us": round(float(lat.mean()), 1),
@@ -136,9 +147,10 @@ def main():
             "solved": int(solved),
             "n": int(args.n),
             "includes_simplify": bool(fused),
+            **({"simplify_pipeline": "shortcut_dp_lite"} if lite else {}),
         }
         print(
-            f"L={L}{' fused(plan+simplify)' if fused else ''} latency over "
+            f"{key}{' (plan+simplify)' if fused else ''} latency over "
             f"{args.n} MBM problems (budget 512): "
             f"median {np.median(lat)/1e3:.1f} ms, mean {lat.mean()/1e3:.1f} ms, "
             f"p95 {np.percentile(lat, 95)/1e3:.1f} ms, solved {solved}/{args.n}"

@@ -53,9 +53,10 @@ SCHEDULES = {
 def main(names):
     out = {}
     for name in names:
-        waves = SCHEDULES[name]
+        bf16 = name.endswith("+bf16")
+        waves = SCHEDULES[name.replace("+bf16", "")]
         t0 = time.perf_counter()
-        stats = evaluate("panda", waves=waves, quiet=False)
+        stats = evaluate("panda", waves=waves, quiet=False, nn_bf16=bf16)
         out[name] = dict(
             solves_per_s=round(stats["solves_per_s"], 1),
             solved=stats["solved"],

@@ -275,3 +275,86 @@ def test_fused_solve_simplify_pipeline():
     rc = np.asarray(res.cost)[solved]
     sc = np.asarray(sres.cost)[solved]
     assert np.all(sc <= rc + 1e-4)
+
+
+def test_shortcut_dp_valid_and_improving(spec, cage):
+    """Shortcut-DP (simplify-lite): output path is edge-valid at reference
+    resolution, keeps endpoints, and never costs more than the input; on a
+    zig-zag path with a clear straight line it must find the 2-point
+    shortcut (the DP is optimal over waypoint subsequences)."""
+    from vamp_tpu.ops.fkcc import make_fkcc
+    from vamp_tpu.ops.validate import make_validate_motions, states_needed
+    from vamp_tpu.planners.simplify import make_shortcut_dp_batch
+
+    env = cage.pack()
+    P = 64
+    lite = jax.jit(make_shortcut_dp_batch(spec, max_path=P, nodes=16))
+
+    # build a wiggly but valid path between two free configs near the start
+    q0 = np.array([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785], np.float32)
+    deltas = np.array(
+        [[0.05, 0.1, -0.05, 0.08, 0.0, -0.06, 0.02],
+         [-0.04, 0.2, 0.03, 0.16, 0.05, -0.1, 0.0],
+         [0.06, 0.3, -0.02, 0.22, 0.02, -0.2, 0.05],
+         [0.0, 0.4, 0.0, 0.3, 0.0, -0.3, 0.0]], np.float32)
+    wps = np.concatenate([q0[None], q0[None] + deltas], axis=0)  # 5 waypoints
+    L = 2
+    paths = np.zeros((L, P, 7), np.float32)
+    paths[:, : len(wps)] = wps
+    lengths = np.full(L, len(wps), np.int32)
+
+    out = lite(jnp.asarray(paths), jnp.asarray(lengths), env)
+    olen = np.asarray(out.path_length)
+    opath = np.asarray(out.path)
+    ocost = np.asarray(out.cost)
+    in_cost = float(np.linalg.norm(np.diff(wps, axis=0), axis=1).sum())
+    assert np.all(ocost <= in_cost + 1e-5)
+    for lane in range(L):
+        p = opath[lane, : olen[lane]]
+        np.testing.assert_allclose(p[0], wps[0], atol=1e-6)
+        np.testing.assert_allclose(p[-1], wps[-1], atol=1e-6)
+        # edge validity in full f32 at the reference check set
+        fkcc = jax.jit(make_fkcc(spec))
+        ns = states_needed(float(np.linalg.norm(spec.range)), spec.resolution)
+        val = jax.jit(make_validate_motions(fkcc, spec.resolution, ns))
+        vs = jnp.asarray(p[:-1])
+        ve = jnp.asarray(p[1:]) - vs
+        assert bool(np.asarray(val(vs, ve, jnp.linalg.norm(ve, axis=1), env)).all())
+    # straight line q0 -> q4 is free in the cage at these small deltas:
+    # the DP must collapse to the 2-point shortcut
+    assert olen[0] == 2, olen
+
+
+def test_shortcut_dp_long_path_clamp_is_safe(spec, cage):
+    """Paths longer than `nodes` exercise the clamped endpoint jump: the op
+    must either validate that jump or return the input unchanged — never an
+    invalid path."""
+    from vamp_tpu.ops.fkcc import make_fkcc
+    from vamp_tpu.ops.validate import make_validate_motions, states_needed
+    from vamp_tpu.planners.simplify import make_shortcut_dp_batch
+
+    env = cage.pack()
+    P = 64
+    M = 8
+    lite = jax.jit(make_shortcut_dp_batch(spec, max_path=P, nodes=M))
+    q0 = np.array([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785], np.float32)
+    rng = np.random.default_rng(3)
+    n_wp = 14  # > nodes
+    wps = [q0]
+    for _ in range(n_wp - 1):
+        wps.append(wps[-1] + rng.uniform(-0.08, 0.08, 7).astype(np.float32))
+    wps = np.stack(wps)
+    L = 1
+    paths = np.zeros((L, P, 7), np.float32)
+    paths[:, :n_wp] = wps
+    lengths = np.full(L, n_wp, np.int32)
+    out = lite(jnp.asarray(paths), jnp.asarray(lengths), env)
+    p = np.asarray(out.path)[0, : int(out.path_length[0])]
+    np.testing.assert_allclose(p[0], wps[0], atol=1e-6)
+    np.testing.assert_allclose(p[-1], wps[-1], atol=1e-6)
+    fkcc = jax.jit(make_fkcc(spec))
+    ns = states_needed(float(np.linalg.norm(spec.range)), spec.resolution)
+    val = jax.jit(make_validate_motions(fkcc, spec.resolution, ns))
+    vs = jnp.asarray(p[:-1])
+    ve = jnp.asarray(p[1:]) - vs
+    assert bool(np.asarray(val(vs, ve, jnp.linalg.norm(ve, axis=1), env)).all())

@@ -171,3 +171,54 @@ def test_turbo_profiling_knob_warning():
     )
     assert r.returncode == 0, r.stderr
     assert "PROFILING mode" in r.stderr and "fixed_steps=7" in r.stderr
+
+
+def test_nn_bf16_solves_with_valid_paths():
+    """nn_bf16 halves the NN sweep read via a bf16 states mirror (f32 norms +
+    f32 dot accumulation). It may pick a different near node among ~equally
+    near ones, so trajectories are NOT bit-compared — what must hold: the
+    cage still solves, and every returned path validates edge-by-edge at the
+    reference check set in full f32."""
+    from vamp_tpu.ops.fkcc import make_fkcc
+    from vamp_tpu.ops.validate import make_validate_motions, states_needed
+
+    spec = load_robot("panda")
+    e = Environment()
+    for c in CAGE:
+        e.add_sphere(Sphere(c, 0.2))
+    env = e.pack()
+
+    start = jnp.asarray([0, -0.785, 0, -2.356, 0, 1.571, 0.785], jnp.float32)
+    goal = jnp.asarray([2.35, 1.0, 0, -0.8, 0, 2.5, 0.785], jnp.float32)
+    L = 8
+    args = (
+        jnp.broadcast_to(start, (L, 7)),
+        jnp.broadcast_to(goal, (L, 1, 7)),
+        jnp.ones((L, 1), bool),
+        env,
+        halton_skip_batch(
+            halton_init_batch(7, L), jnp.arange(L, dtype=jnp.int32) * 1013
+        ),
+    )
+    settings = RRTCSettings(range=1.0, max_iterations=800, max_samples=2048)
+
+    f32 = jax.jit(rrtc_turbo.make_rrtc_turbo_batch(spec, settings, 1, 64))(*args)
+    bf = jax.jit(
+        rrtc_turbo.make_rrtc_turbo_batch(spec, settings, 1, 64, nn_bf16=True)
+    )(*args)
+
+    n_f32 = int(np.asarray(f32.solved).sum())
+    n_bf = int(np.asarray(bf.solved).sum())
+    assert n_bf >= max(1, n_f32 - 1), (n_bf, n_f32)
+
+    fkcc = jax.jit(make_fkcc(spec))
+    ns = states_needed(float(np.linalg.norm(spec.range)), spec.resolution)
+    validate = jax.jit(make_validate_motions(fkcc, spec.resolution, ns))
+    paths = np.asarray(bf.path)
+    lens = np.asarray(bf.path_length)
+    for lane in np.nonzero(np.asarray(bf.solved))[0]:
+        p = paths[lane, : lens[lane]]
+        vs = jnp.asarray(p[:-1])
+        ve = jnp.asarray(p[1:]) - vs
+        ok = validate(vs, ve, jnp.linalg.norm(ve, axis=1), env)
+        assert bool(np.asarray(ok).all()), f"lane {lane} path fails validation"

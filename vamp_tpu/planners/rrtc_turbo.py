@@ -126,15 +126,18 @@ def make_rrtc_turbo_batch(
     early exit (for wave harnesses whose lanes are survivors of an earlier
     wave — they already failed it).
 
-    `nn_bf16` keeps the NN sweep's sentinel-norm surface and a mirror of the
-    tree states in bfloat16 — halves the dominant per-step HBM read (the
-    (dim, N, L) dot + (2, N, L) argmin surface). Geometry, edge validation,
-    and the gathered configurations stay float32, so every returned path is
-    still validated at the exact reference check set; only WHICH near node
-    the argmin picks can differ among nodes within ~bf16 resolution
-    (~0.25 rad^2 at panda-scale norms) of the true nearest — a documented
-    turbo deviation (this solver already trades stream parity for
-    throughput; use planners/rrtc.py for reference parity)."""
+    `nn_bf16` computes the NN dot over a bfloat16 mirror of the tree states
+    (f32 accumulation via dot_general) — halves the dominant per-step HBM
+    read, the (dim, N, L) sweep. The sentinel-norm surface stays float32
+    (benchmarks/nn_bf16_micro.py: the f32-norm "dot_only" form matches the
+    all-bf16 form's speed — 219.5 vs 220.7 us/step at N=4096, L=320, vs
+    240.1 f32 — while confining rounding to the coordinates inside the dot).
+    Geometry, edge validation, and the gathered configurations stay float32,
+    so every returned path is still validated at the exact reference check
+    set; only WHICH near node the argmin picks can differ among nodes within
+    ~bf16 dot resolution of the true nearest — a documented turbo deviation
+    (this solver already trades stream parity for throughput; use
+    planners/rrtc.py for reference parity)."""
     if hier is None:
         hier = _os.environ.get("VAMP_TURBO_HIER", "0") == "1"
     # Steps per while_loop iteration (measured +4% suite throughput at 2:
@@ -267,15 +270,13 @@ def make_rrtc_turbo_batch(
         goal_sq = jnp.sum(goals * goals, axis=2)  # (L, G)
         # Both trees' sentinel-norm arrays in ONE (2, N, L) buffer: one argmin
         # and one contiguous insert write instead of two of each (serialized
-        # phases are what per-step cost is made of on this device).
-        # With nn_bf16 this surface lives in bfloat16 (docstring).
-        nn_dt = jnp.bfloat16 if nn_bf16 else jnp.float32
-        s2ab = jnp.full((2, N0, L), BIG, nn_dt)
+        # phases are what per-step cost is made of on this device). The
+        # surface stays float32 even under nn_bf16 (docstring: only the dot's
+        # states read is bf16).
+        s2ab = jnp.full((2, N0, L), BIG, jnp.float32)
+        s2ab = lax.dynamic_update_slice(s2ab, start_sq[None, None, :], (0, 0, 0))
         s2ab = lax.dynamic_update_slice(
-            s2ab, start_sq[None, None, :].astype(nn_dt), (0, 0, 0)
-        )
-        s2ab = lax.dynamic_update_slice(
-            s2ab, jnp.where(goal_mask, goal_sq, BIG).T[None].astype(nn_dt), (1, 1, 0)
+            s2ab, jnp.where(goal_mask, goal_sq, BIG).T[None], (1, 1, 0)
         )
 
         parents = jnp.broadcast_to(jnp.arange(N0, dtype=jnp.int32)[:, None], (N0, L))
@@ -389,13 +390,16 @@ def make_rrtc_turbo_batch(
                 near_idx = jnp.zeros((L,), jnp.int32)
                 arg_a = arg_b = near_idx
             elif nn_bf16:
-                # half-width sweep: bf16 mirror dot + bf16 surface; q2 is a
-                # per-lane constant so it cannot change the argmin — dropped
-                dot = jnp.sum(
-                    c["states_bf"] * sample.astype(jnp.bfloat16)[:, None, :],
-                    axis=0,
-                )  # (N, L) bf16
-                sq = s2ab - 2.0 * dot[None]  # (2, N, L) bf16
+                # half-width sweep: bf16 states-mirror dot with f32
+                # accumulation; norms stay f32. q2 is a per-lane constant so
+                # it cannot change the argmin — dropped.
+                dot = lax.dot_general(
+                    sample.astype(jnp.bfloat16)[None],
+                    states_bf,
+                    dimension_numbers=(((1,), (0,)), ((2,), (2,))),
+                    preferred_element_type=jnp.float32,
+                )[:, 0, :].T  # (N, L) f32
+                sq = s2ab - 2.0 * dot[None]  # (2, N, L) f32
                 args2 = jnp.argmin(sq, axis=1).astype(jnp.int32)  # (2, L)
                 arg_a, arg_b = args2[0], args2[1]
                 near_idx = jnp.where(in_a_sel, arg_a, arg_b)
@@ -761,6 +765,8 @@ def make_rrtc_simplify_batch(
     connect_segs: int = 1,
     line_check: bool = True,
     chunk_states: int = 16,
+    lite: bool = False,
+    nn_bf16: bool = False,
 ):
     """One fused program: turbo solve THEN simplification, no intermediate
     host hop. The single-query latency path pays the ~29 ms relay call floor
@@ -768,20 +774,33 @@ def make_rrtc_simplify_batch(
     plan+simplify as their end-to-end time too — scripts/README.md:13 reports
     'total' = plan + simplify).
 
+    `lite=True` swaps the full SHORTCUT+BSPLINE pipeline for the shortcut-DP
+    pass (planners/simplify.make_shortcut_dp_batch): the optimal waypoint-
+    subsequence shortcut computed in a handful of device phases, built for
+    this fused latency path — the full pipeline's per-candidate cursor loop
+    costs hundreds of serialized relay phases and tripled the round-4 fused
+    latency (benchmarks/latency_results.json L8_fused history).
+
     Returns `run(starts, goals, goal_mask, envs, samplers?, group_id?) ->
     (RRTCResult, SimplifyResult)`; unsolved lanes carry a trivial 2-point
     path through simplification (cost reported 0 via the solved mask)."""
     from ..utils.settings import SimplifySettings
-    from .simplify import make_simplify_batch
+    from .simplify import make_shortcut_dp_batch, make_simplify_batch
 
     if simplify_settings is None:
         simplify_settings = SimplifySettings()
     solve = make_rrtc_turbo_batch(
-        spec, settings, n_goals, max_path, connect_segs, line_check=line_check
+        spec, settings, n_goals, max_path, connect_segs,
+        line_check=line_check, nn_bf16=nn_bf16,
     )
-    simplify = make_simplify_batch(
-        spec, simplify_settings, max_path=max_path, chunk_states=chunk_states
-    )
+    if lite:
+        simplify = make_shortcut_dp_batch(
+            spec, max_path=max_path, chunk_states=chunk_states
+        )
+    else:
+        simplify = make_simplify_batch(
+            spec, simplify_settings, max_path=max_path, chunk_states=chunk_states
+        )
 
     def run(starts, goals, goal_mask, envs, samplers=None, group_id=None):
         res = solve(starts, goals, goal_mask, envs, samplers, None, None, group_id)

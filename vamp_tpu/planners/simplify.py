@@ -31,6 +31,7 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..env import PackedEnvironment
 from ..ops.fkcc_bm import make_fkcc_planner
@@ -461,3 +462,168 @@ def make_simplify_batch(
         )
 
     return simplify
+
+
+def make_shortcut_dp_batch(
+    spec: RobotSpec,
+    max_path: int = 256,
+    nodes: int = 32,
+    relax_sweeps: int = 6,
+    chunk_states: int = 16,
+):
+    """Latency-mode "simplify-lite": optimal waypoint-subsequence shortcut in
+    a HANDFUL of serialized device phases.
+
+    The default pipeline (reference simplify.hh:192-260 fixed-point over
+    SHORTCUT+BSPLINE) is a per-candidate cursor state machine: hundreds of
+    tiny dependent device steps, which on a ~100us-per-phase relay costs far
+    more wall than its FLOPs (measured: the round-4 fused plan+simplify mode
+    tripled single-query latency). This op replaces it for the fused
+    single-query path:
+
+      1. gather the first `nodes-1` waypoints + the true endpoint;
+      2. validate ALL O(nodes^2) pairwise straight edges at the reference
+         check set (validate.hh:41 j/(8n) fractions) in ONE chunked fused
+         sweep (long edges early-exit collectively);
+      3. min-plus (Bellman-Ford) relaxation over the validated-edge DAG,
+         seeded with the original path's prefix costs — after k sweeps the
+         result is the optimal subsequence shortcut using <= 2+k hops, and
+         never worse than the input path;
+      4. predecessor walk -> compacted path.
+
+    Unlike the reference's greedy pairwise scan (simplify.hh:115-141) this
+    finds the globally optimal subsequence (it cannot invent new midpoints,
+    so BSPLINE-style smoothing is out of scope — documented lite tradeoff).
+    Paths longer than `nodes` waypoints keep their tail intact via the
+    endpoint node; if the clamped jump edge is invalid the DP falls back to
+    the (always-valid) original chain among the first nodes-1 waypoints only
+    when that chain reaches the endpoint — otherwise the input path is
+    returned unchanged (valid by construction).
+
+    Returns `simplify_lite(paths (L,P,dim), lengths (L,), envs, base_rot?,
+    base_pos?) -> SimplifyResult`.
+    """
+    from ..ops.validate import make_validate_edges_chunked
+
+    fkcc = make_fkcc_planner(spec)
+    res = spec.resolution
+    P = max_path
+    M = nodes
+    diam = float(np.linalg.norm(spec.range))
+    max_chunks = max(int(np.ceil(diam * res / chunk_states)), 1)
+    validate_edges = make_validate_edges_chunked(fkcc, res, chunk_states, max_chunks)
+
+    # static upper-triangular pair list (i < j). Adjacent pairs are included
+    # because the LAST adjacency (node M-2 -> endpoint node M-1) is a clamped
+    # jump for paths longer than `nodes` waypoints — it skips real waypoints
+    # and must be validated like any shortcut candidate.
+    ii, jj = np.triu_indices(M, k=1)
+    ii_c = jnp.asarray(ii, jnp.int32)
+    jj_c = jnp.asarray(jj, jnp.int32)
+
+    def simplify_lite(
+        paths: jnp.ndarray,
+        lengths: jnp.ndarray,
+        envs: PackedEnvironment,
+        base_rot: Optional[jnp.ndarray] = None,
+        base_pos: Optional[jnp.ndarray] = None,
+    ) -> SimplifyResult:
+        L = paths.shape[0]
+        assert paths.shape[1] == P, f"pad paths to max_path={P}"
+        last = jnp.clip(lengths - 1, 0, P - 1)  # (L,)
+
+        # node -> waypoint index: 0..M-2 clamp to the chain, M-1 is the end
+        base_idx = jnp.minimum(jnp.arange(M - 1, dtype=jnp.int32)[None, :], last[:, None])
+        node_idx = jnp.concatenate([base_idx, last[:, None]], axis=1)  # (L, M)
+        pts = jnp.take_along_axis(paths, node_idx[:, :, None], 1)  # (L, M, dim)
+
+        # -- 2. one fused all-pairs edge validation -------------------------
+        p_i = jnp.take_along_axis(pts, ii_c[None, :, None], 1)  # (L, E, dim)
+        p_j = jnp.take_along_axis(pts, jj_c[None, :, None], 1)
+        vec = p_j - p_i
+        dist = jnp.linalg.norm(vec, axis=2)  # (L, E)
+        # degenerate (clamped) pairs are zero-length: skip their validation
+        active = dist > 1e-9
+        ok = validate_edges(p_i, vec, dist, envs, base_rot, base_pos, active)
+
+        # -- 3. min-plus relaxation over the DAG ----------------------------
+        # W[l, i, j]: cost of usable edge i->j (inf otherwise). Original
+        # consecutive segments (nodes 0..M-2, and M-2->M-1 only when the path
+        # fits in M nodes) are trusted by construction — the planner already
+        # validated them — so validation noise cannot reject the input chain.
+        seg = jnp.linalg.norm(pts[:, 1:] - pts[:, :-1], axis=2)  # (L, M-1)
+        W = jnp.full((L, M, M), jnp.inf, jnp.float32)
+        W = W.at[:, ii_c, jj_c].set(jnp.where(ok & active, dist, jnp.inf))
+        ar = jnp.arange(M - 2)
+        W = W.at[:, ar, ar + 1].set(seg[:, :-1])
+        # last adjacency: original segment iff the whole path fits (last node
+        # index <= M-1 means node M-2 IS waypoint last-1 or a clamp duplicate)
+        fits = last <= M - 1
+        W = W.at[:, M - 2, M - 1].set(
+            jnp.where(fits, seg[:, -1], W[:, M - 2, M - 1])
+        )
+
+        # seed: chain prefix costs through node M-2 (always feasible); the
+        # endpoint seeds as inf unless the path fits — for long paths it must
+        # be REACHED via a validated edge or the input is returned unchanged
+        chain = jnp.concatenate(
+            [jnp.zeros((L, 1)), jnp.cumsum(seg, axis=1)], axis=1
+        )  # (L, M)
+        d = chain.at[:, M - 1].set(jnp.where(fits, chain[:, M - 1], jnp.inf))
+        pred = jnp.concatenate(
+            [
+                jnp.zeros((L, 1), jnp.int32),
+                jnp.broadcast_to(
+                    jnp.arange(M - 1)[None], (L, M - 1)
+                ).astype(jnp.int32),
+            ],
+            axis=1,
+        )  # pred[j] = j-1 (and 0 for node 0)
+
+        def sweep(_, c):
+            d, pred = c
+            cand = d[:, :, None] + W  # (L, M src, M dst)
+            best = jnp.min(cand, axis=1)
+            arg = jnp.argmin(cand, axis=1).astype(jnp.int32)
+            better = best < d - 1e-7
+            return jnp.where(better, best, d), jnp.where(better, arg, pred)
+
+        d, pred = lax.fori_loop(0, relax_sweeps, sweep, (d, pred))
+
+        # -- 4. predecessor walk from the endpoint node ---------------------
+        def wstep(k, c):
+            seq, cur, n = c
+            seq = seq.at[:, k].set(cur)
+            nxt = jnp.take_along_axis(pred, cur[:, None], 1)[:, 0]
+            n = jnp.where(cur > 0, n + 1, n)
+            return seq, nxt, n
+
+        seq0 = jnp.zeros((L, M), jnp.int32)
+        cur0 = jnp.full((L,), M - 1, jnp.int32)
+        seq, _, n_hops = lax.fori_loop(0, M, wstep, (seq0, cur0, jnp.ones((L,), jnp.int32)))
+        # seq holds node ids endpoint-first; reverse into waypoint order
+        pos = jnp.arange(M)[None, :]
+        rev = jnp.clip(n_hops[:, None] - 1 - pos, 0, M - 1)
+        seq_fwd = jnp.take_along_axis(seq, rev, 1)  # (L, M) node ids, start-first
+        wp = jnp.take_along_axis(node_idx, seq_fwd, 1)  # waypoint indices
+        new_path = jnp.zeros_like(paths)
+        new_path = lax.dynamic_update_slice(
+            new_path,
+            jnp.take_along_axis(paths, jnp.minimum(wp, last[:, None])[:, :, None], 1),
+            (0, 0, 0),
+        )
+        new_len = n_hops
+
+        # lanes where the DP found nothing better than (or equal to) a path
+        # ending at the endpoint keep their input (also covers length<=2)
+        improved = (new_len >= 2) & (d[:, M - 1] < _path_cost(paths, lengths) - 1e-6)
+        out_path = jnp.where(improved[:, None, None], new_path, paths)
+        out_len = jnp.where(improved, new_len, lengths)
+        return SimplifyResult(
+            path=out_path,
+            path_length=out_len,
+            cost=_path_cost(out_path, out_len),
+            iterations=jnp.where(improved, relax_sweeps, 0),
+        )
+
+    return simplify_lite
