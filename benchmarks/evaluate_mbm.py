@@ -75,7 +75,20 @@ def racing_samplers(dim: int, L: int, replica):
     same problems)."""
     from vamp_tpu.samplers.halton import halton_state_at
 
+    import jax
+
     replica = np.asarray(replica, np.int64)
+    if replica.ndim == 2:  # (R, L): stacked banks for fused restart segments
+        R = replica.shape[0]
+        flat = halton_state_at(replica.reshape(-1) * 49999, dim)
+        return jax.tree.map(
+            lambda x: (
+                x.reshape(dim, R, -1).transpose(1, 0, 2)
+                if x.ndim == 2
+                else x.reshape(R, -1)
+            ),
+            flat,
+        )
     return halton_state_at(replica * 49999, dim)
 
 
@@ -249,7 +262,14 @@ def evaluate(
     trace_cm = device_trace()  # no-op unless VAMP_TRACE_DIR is set
     trace_cm.__enter__()
     try:
-        for wave, (max_iter, max_samp, K_max, L_max, repeats) in enumerate(waves):
+        for wave, wspec in enumerate(waves):
+            # wave spec: (budget, slots, K_max, L_max, repeats[, restarts])
+            # `repeats` re-batches survivors between separate device calls;
+            # `restarts` fuses fresh-tree attempts INSIDE one call (turbo
+            # restart segments — no per-attempt relay floor or host hop).
+            (max_iter, max_samp, K_max, L_max, repeats), R = wspec[:5], (
+                wspec[5] if len(wspec) > 5 else 1
+            )
             for rep in range(repeats):
                 if len(pending) == 0:
                     break
@@ -303,7 +323,7 @@ def evaluate(
                 kw = (
                     {"line_check": wave == 0 and rep == 0,
                      "connect_segs": connect_segs, "unroll": unroll,
-                     "nn_bf16": nn_bf16}
+                     "nn_bf16": nn_bf16, "restarts": R}
                     if turbo
                     else {}
                 )
@@ -333,6 +353,9 @@ def evaluate(
                     replica = np.arange(L) % K + rotation
                     if rep == 0 and rotation == 0:
                         replica = np.arange(L) % K  # replica 0 = canonical stream
+                    if R > 1:
+                        # R fused restart banks, each K fresh streams deeper
+                        replica = np.stack([replica + s * K for s in range(R)])
 
                     if pointcloud:
                         # per-chunk tree shape (chunks are size-sorted)
@@ -396,17 +419,19 @@ def evaluate(
                 solve_timed += wave_time
                 pending = np.array([i for i in pending if not solved[i]], np.int64)
                 wave_stats.append(
-                    dict(wave=wave, rep=rep, budget=max_iter, K=K,
+                    dict(wave=wave, rep=rep, budget=max_iter, K=K, restarts=R,
                          calls=len(chunks), time_s=wave_time,
                          solved=Pw - len(pending), of=Pw)
                 )
                 if not quiet:
+                    rs = f" x{R} restarts" if R > 1 else ""
                     print(
                         f"wave {wave}.{rep}: budget {max_iter}, {len(chunks)} "
-                        f"call(s) x{K} streams, solved {Pw - len(pending)}/{Pw} "
-                        f"in {wave_time*1e3:.0f}ms, remaining {len(pending)}"
+                        f"call(s) x{K} streams{rs}, solved "
+                        f"{Pw - len(pending)}/{Pw} in {wave_time*1e3:.0f}ms, "
+                        f"remaining {len(pending)}"
                     )
-                rotation += K
+                rotation += K * R
             if len(pending) == 0:
                 break
     finally:

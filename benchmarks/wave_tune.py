@@ -47,16 +47,40 @@ SCHEDULES = {
         (1536, 4096, 32, 384, 1),
         (6144, 16384, 48, 96, 1),
     ),
+    # round 5: wave 4's two repeats fused into ONE call of 2 restart
+    # segments (fresh trees + stream banks inside the program — saves a
+    # relay floor + host re-batch; rrtc_turbo restarts)
+    "restart_tail": (
+        (128, 384, 1, 1024, 1),
+        (384, 1024, 2, 768, 1),
+        (768, 2048, 5, 512, 1),
+        (1280, 3456, 12, 256, 1),
+        (1536, 4096, 24, 144, 1, 2),
+        (6144, 16384, 48, 96, 1),
+    ),
 }
+
+
+def parse_variant(name):
+    """`sched[+bf16][+uN]` -> (waves, nn_bf16, unroll)."""
+    parts = name.split("+")
+    waves = SCHEDULES[parts[0]]
+    bf16 = "bf16" in parts[1:]
+    unroll = 2
+    for p in parts[1:]:
+        if p.startswith("u") and p[1:].isdigit():
+            unroll = int(p[1:])
+    return waves, bf16, unroll
 
 
 def main(names):
     out = {}
     for name in names:
-        bf16 = name.endswith("+bf16")
-        waves = SCHEDULES[name.replace("+bf16", "")]
+        waves, bf16, unroll = parse_variant(name)
         t0 = time.perf_counter()
-        stats = evaluate("panda", waves=waves, quiet=False, nn_bf16=bf16)
+        stats = evaluate(
+            "panda", waves=waves, quiet=False, nn_bf16=bf16, unroll=unroll
+        )
         out[name] = dict(
             solves_per_s=round(stats["solves_per_s"], 1),
             solved=stats["solved"],

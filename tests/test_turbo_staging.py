@@ -222,3 +222,58 @@ def test_nn_bf16_solves_with_valid_paths():
         ve = jnp.asarray(p[1:]) - vs
         ok = validate(vs, ve, jnp.linalg.norm(ve, axis=1), env)
         assert bool(np.asarray(ok).all()), f"lane {lane} path fails validation"
+
+
+def test_restart_segments_match_sequential_solves():
+    """restarts=R fuses R independent attempts into one program: a lane
+    solved by bank r must report exactly the path the R=1 program produces
+    with bank r alone (first-winning-bank precedence), and unsolved lanes
+    stay unsolved. Iterations accumulate only over segments that ran."""
+    spec = load_robot("panda")
+    e = Environment()
+    for c in CAGE:
+        e.add_sphere(Sphere(c, 0.2))
+    env = e.pack()
+
+    start = jnp.asarray([0, -0.785, 0, -2.356, 0, 1.571, 0.785], jnp.float32)
+    goal = jnp.asarray([2.35, 1.0, 0, -0.8, 0, 2.5, 0.785], jnp.float32)
+    L = 6
+    # moderate budget so some streams solve and some fail
+    settings = RRTCSettings(range=1.0, max_iterations=450, max_samples=1280)
+    args_base = (
+        jnp.broadcast_to(start, (L, 7)),
+        jnp.broadcast_to(goal, (L, 1, 7)),
+        jnp.ones((L, 1), bool),
+        env,
+    )
+
+    def bank(offset):
+        return halton_skip_batch(
+            halton_init_batch(7, L),
+            offset + jnp.arange(L, dtype=jnp.int32) * 977,
+        )
+
+    b0, b1 = bank(0), bank(40_000)
+    solo = jax.jit(rrtc_turbo.make_rrtc_turbo_batch(spec, settings, 1, 64))
+    r0 = solo(*args_base, b0)
+    r1 = solo(*args_base, b1)
+    s0, s1 = np.asarray(r0.solved), np.asarray(r1.solved)
+    assert s0.any() and (~s0).any(), f"need a mixed outcome for bank0: {s0}"
+
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), b0, b1)
+    fused = jax.jit(
+        rrtc_turbo.make_rrtc_turbo_batch(spec, settings, 1, 64, restarts=2)
+    )(*args_base, stacked)
+    fs = np.asarray(fused.solved)
+    np.testing.assert_array_equal(fs, s0 | s1)
+    fpath = np.asarray(fused.path)
+    fcost = np.asarray(fused.cost)
+    fiter = np.asarray(fused.iterations)
+    for lane in range(L):
+        if s0[lane]:
+            np.testing.assert_array_equal(fpath[lane], np.asarray(r0.path)[lane])
+            assert fcost[lane] == float(np.asarray(r0.cost)[lane])
+            assert fiter[lane] == int(np.asarray(r0.iterations)[lane])
+        elif s1[lane]:
+            np.testing.assert_array_equal(fpath[lane], np.asarray(r1.path)[lane])
+            assert fcost[lane] == float(np.asarray(r1.cost)[lane])

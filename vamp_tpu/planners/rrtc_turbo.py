@@ -112,6 +112,7 @@ def make_rrtc_turbo_batch(
     line_check: bool = True,
     unroll: Optional[int] = None,
     nn_bf16: bool = False,
+    restarts: int = 1,
 ):
     """Build `solve_batch(starts (L,dim), goals (L,G,dim), goal_mask (L,G),
     envs, samplers?, base_rot?, base_pos?, group_id?) -> RRTCResult`.
@@ -125,6 +126,16 @@ def make_rrtc_turbo_batch(
     hierarchy does not cover). `line_check=False` skips the straight-line
     early exit (for wave harnesses whose lanes are survivors of an earlier
     wave — they already failed it).
+
+    `restarts=R > 1` runs up to R independent solve attempts INSIDE one jit
+    program: each segment re-initializes the trees from scratch with a fresh
+    sampler bank and runs the full staged budget; lanes whose problem solved
+    in an earlier segment (or a racing sibling's — done sharing) skip the
+    segment at one while_loop-cond's cost. `samplers` then carries a leading
+    (R, ...) axis of decorrelated banks. This fuses what the wave harness
+    previously ran as `repeats` — separate device calls each paying the
+    ~27 ms relay floor and a host re-batch — into one call, exploiting the
+    same heavy-tailed restart distribution.
 
     `nn_bf16` computes the NN dot over a bfloat16 mirror of the tree states
     (f32 accumulation via dot_general) — halves the dominant per-step HBM
@@ -220,7 +231,17 @@ def make_rrtc_turbo_batch(
         to its own budget even after the problem is won."""
         L, G = goals.shape[0], goals.shape[1]
         if samplers is None:
+            if restarts > 1:
+                raise ValueError(
+                    "restarts > 1 requires explicit samplers with a leading "
+                    "(restarts, ...) axis of decorrelated banks"
+                )
             samplers = halton_init_batch(dim, L)
+        if restarts > 1 and samplers.b.ndim != 3:
+            raise ValueError(
+                f"restarts={restarts} expects sampler arrays (R, dim, L); "
+                f"got b.shape={samplers.b.shape}"
+            )
         br, bp = base_rot, base_pos
 
         def share(d):
@@ -261,54 +282,58 @@ def make_rrtc_turbo_batch(
         # Slot 0 = start, slots 1..G = goals. Tree membership + live mask are
         # folded into the squared-norm arrays (BIG = not in this tree).
         # Buffers start at the first stage capacity and grow between stages.
-        N0 = stage_caps[0]
-        states = jnp.zeros((dim, N0, L), jnp.float32)
-        states = lax.dynamic_update_slice(states, starts.T[:, None, :], (0, 0, 0))
-        states = lax.dynamic_update_slice(states, goals.transpose(2, 1, 0), (0, 1, 0))
-
         start_sq = jnp.sum(starts * starts, axis=1)  # (L,)
         goal_sq = jnp.sum(goals * goals, axis=2)  # (L, G)
-        # Both trees' sentinel-norm arrays in ONE (2, N, L) buffer: one argmin
-        # and one contiguous insert write instead of two of each (serialized
-        # phases are what per-step cost is made of on this device). The
-        # surface stays float32 even under nn_bf16 (docstring: only the dot's
-        # states read is bf16).
-        s2ab = jnp.full((2, N0, L), BIG, jnp.float32)
-        s2ab = lax.dynamic_update_slice(s2ab, start_sq[None, None, :], (0, 0, 0))
-        s2ab = lax.dynamic_update_slice(
-            s2ab, jnp.where(goal_mask, goal_sq, BIG).T[None], (1, 1, 0)
-        )
 
-        parents = jnp.broadcast_to(jnp.arange(N0, dtype=jnp.int32)[:, None], (N0, L))
-        radii = jnp.full((N0, L), INF)
-
-        carry = dict(
-            states=states,
-            s2ab=s2ab,
-            **({"states_bf": states.astype(jnp.bfloat16)} if nn_bf16 else {}),
-            parents=parents,
-            radii=radii,
-            slot=jnp.int32(1 + G),
-            sizes=jnp.stack(
-                [jnp.ones((L,)), jnp.sum(goal_mask, axis=1).astype(jnp.float32)]
-            ),
-            tree_a=jnp.full((L,), 1 if settings.start_tree_first else 0, jnp.int8),
-            sampler=samplers,
-            iter=jnp.zeros((L,), jnp.int32),
-            done=share(any_line) | dead,
-            solved=any_line,
-            mode=jnp.zeros((L,), jnp.int8),
-            c_prior=jnp.zeros((dim, L), jnp.float32),
-            c_prior_idx=jnp.zeros((L,), jnp.int32),
-            c_inc=jnp.zeros((dim, L), jnp.float32),
-            c_inc_len=jnp.zeros((L,), jnp.float32),
-            c_segs_left=jnp.zeros((L,), jnp.int32),
-            c_target=jnp.zeros((L,), jnp.int32),
-            tail_a=jnp.zeros((L,), jnp.int32),
-            tail_b=jnp.zeros((L,), jnp.int32),
-        )
-
-        carry["step"] = jnp.int32(0)
+        def init_carry(sampler_bank, done0, solved0):
+            N0 = stage_caps[0]
+            states = jnp.zeros((dim, N0, L), jnp.float32)
+            states = lax.dynamic_update_slice(states, starts.T[:, None, :], (0, 0, 0))
+            states = lax.dynamic_update_slice(
+                states, goals.transpose(2, 1, 0), (0, 1, 0)
+            )
+            # Both trees' sentinel-norm arrays in ONE (2, N, L) buffer: one
+            # argmin and one contiguous insert write instead of two of each
+            # (serialized phases are what per-step cost is made of on this
+            # device). The surface stays float32 even under nn_bf16
+            # (docstring: only the dot's states read is bf16).
+            s2ab = jnp.full((2, N0, L), BIG, jnp.float32)
+            s2ab = lax.dynamic_update_slice(s2ab, start_sq[None, None, :], (0, 0, 0))
+            s2ab = lax.dynamic_update_slice(
+                s2ab, jnp.where(goal_mask, goal_sq, BIG).T[None], (1, 1, 0)
+            )
+            parents = jnp.broadcast_to(
+                jnp.arange(N0, dtype=jnp.int32)[:, None], (N0, L)
+            )
+            radii = jnp.full((N0, L), INF)
+            return dict(
+                states=states,
+                s2ab=s2ab,
+                **({"states_bf": states.astype(jnp.bfloat16)} if nn_bf16 else {}),
+                parents=parents,
+                radii=radii,
+                slot=jnp.int32(1 + G),
+                sizes=jnp.stack(
+                    [jnp.ones((L,)), jnp.sum(goal_mask, axis=1).astype(jnp.float32)]
+                ),
+                tree_a=jnp.full(
+                    (L,), 1 if settings.start_tree_first else 0, jnp.int8
+                ),
+                sampler=sampler_bank,
+                iter=jnp.zeros((L,), jnp.int32),
+                done=done0,
+                solved=solved0,
+                mode=jnp.zeros((L,), jnp.int8),
+                c_prior=jnp.zeros((dim, L), jnp.float32),
+                c_prior_idx=jnp.zeros((L,), jnp.int32),
+                c_inc=jnp.zeros((dim, L), jnp.float32),
+                c_inc_len=jnp.zeros((L,), jnp.float32),
+                c_segs_left=jnp.zeros((L,), jnp.int32),
+                c_target=jnp.zeros((L,), jnp.int32),
+                tail_a=jnp.zeros((L,), jnp.int32),
+                tail_b=jnp.zeros((L,), jnp.int32),
+                step=jnp.int32(0),
+            )
 
         def running(c):
             budget = (c["iter"] < settings.max_iterations) | (c["mode"] == CONNECT)
@@ -674,63 +699,102 @@ def make_rrtc_turbo_batch(
                 c = body(c)
             return c
 
-        out = carry
-        for cap in stage_caps:
-            if out["s2ab"].shape[1] < cap:
-                out = grow(out, cap)
-            out = lax.while_loop(make_cond(cap), body_u, out)
-        if U > 1 and not _FIXED_STEPS:
-            # Residual single-step loop at the final capacity: the unrolled
-            # loop exits at slot >= cap-(2U-1), stranding up to U-1 body steps
-            # of budget when slot exhaustion (not running()) terminates — a
-            # borderline problem could flip solved<->unsolved between unroll
-            # settings (advisor round-4 finding). This restores the exact
-            # U=1 trajectory bound (slot < cap-1) for any unroll.
-            cap = stage_caps[-1]
+        def run_segment(c):
+            out = c
+            for cap in stage_caps:
+                if out["s2ab"].shape[1] < cap:
+                    out = grow(out, cap)
+                out = lax.while_loop(make_cond(cap), body_u, out)
+            if U > 1 and not _FIXED_STEPS:
+                # Residual single-step loop at the final capacity: the
+                # unrolled loop exits at slot >= cap-(2U-1), stranding up to
+                # U-1 body steps of budget when slot exhaustion (not
+                # running()) terminates — a borderline problem could flip
+                # solved<->unsolved between unroll settings (advisor round-4
+                # finding). This restores the exact U=1 trajectory bound
+                # (slot < cap-1) for any unroll.
+                cap = stage_caps[-1]
 
-            def cond_res(c):
-                return jnp.any(running(c)) & (c["slot"] < cap - 1)
+                def cond_res(c2):
+                    return jnp.any(running(c2)) & (c2["slot"] < cap - 1)
 
-            out = lax.while_loop(cond_res, body, out)
+                out = lax.while_loop(cond_res, body, out)
+            return out
 
-        # -- path recovery --------------------------------------------------
-        # tail_a is the junction node in tree_a; tail_b the connect target in
-        # the other tree (the validated straight junction->target edge is
-        # implicit). Both chains include their endpoint.
-        states_lm = out["states"].transpose(2, 1, 0)  # (L, N, dim)
-        parents_lm = out["parents"].T  # (L, N)
-        tree_a_end = out["tree_a"]
+        def recover(out):
+            # tail_a is the junction node in tree_a; tail_b the connect
+            # target in the other tree (the validated straight
+            # junction->target edge is implicit). Both chains include their
+            # endpoint.
+            states_lm = out["states"].transpose(2, 1, 0)  # (L, N, dim)
+            parents_lm = out["parents"].T  # (L, N)
+            tree_a_end = out["tree_a"]
 
-        def walk(tail):
-            def step(i, acc):
-                buf, cur, length = acc
-                buf = buf.at[:, i].set(cur)
-                nxt = jnp.take_along_axis(parents_lm, cur[:, None], 1)[:, 0]
-                length = jnp.where(cur == nxt, length, length + 1)
-                return buf, nxt, length
+            def walk(tail):
+                def step(i, acc):
+                    buf, cur, length = acc
+                    buf = buf.at[:, i].set(cur)
+                    nxt = jnp.take_along_axis(parents_lm, cur[:, None], 1)[:, 0]
+                    length = jnp.where(cur == nxt, length, length + 1)
+                    return buf, nxt, length
 
-            buf = jnp.zeros((L, max_path), jnp.int32)
-            buf, _, length = lax.fori_loop(
-                0, max_path, step, (buf, tail, jnp.ones((L,), jnp.int32))
+                buf = jnp.zeros((L, max_path), jnp.int32)
+                buf, _, length = lax.fori_loop(
+                    0, max_path, step, (buf, tail, jnp.ones((L,), jnp.int32))
+                )
+                return buf, length
+
+            chain_a, len_a = walk(out["tail_a"])
+            chain_b, len_b = walk(out["tail_b"])
+            total = len_a + len_b
+
+            pos = jnp.arange(max_path)[None, :]
+            idx_a = jnp.clip(len_a[:, None] - 1 - pos, 0, max_path - 1)
+            idx_b = jnp.clip(pos - len_a[:, None], 0, max_path - 1)
+            seq = jnp.where(
+                pos < len_a[:, None],
+                jnp.take_along_axis(chain_a, idx_a, 1),
+                jnp.take_along_axis(chain_b, idx_b, 1),
             )
-            return buf, length
+            flipped_idx = jnp.clip(total[:, None] - 1 - pos, 0, max_path - 1)
+            seq_flipped = jnp.take_along_axis(seq, flipped_idx, 1)
+            seq = jnp.where((tree_a_end == 0)[:, None], seq, seq_flipped)
+            path = jnp.take_along_axis(states_lm, seq[:, :, None], 1)
+            return path, total
 
-        chain_a, len_a = walk(out["tail_a"])
-        chain_b, len_b = walk(out["tail_b"])
-        total = len_a + len_b
-
-        pos = jnp.arange(max_path)[None, :]
-        idx_a = jnp.clip(len_a[:, None] - 1 - pos, 0, max_path - 1)
-        idx_b = jnp.clip(pos - len_a[:, None], 0, max_path - 1)
-        seq = jnp.where(
-            pos < len_a[:, None],
-            jnp.take_along_axis(chain_a, idx_a, 1),
-            jnp.take_along_axis(chain_b, idx_b, 1),
-        )
-        flipped_idx = jnp.clip(total[:, None] - 1 - pos, 0, max_path - 1)
-        seq_flipped = jnp.take_along_axis(seq, flipped_idx, 1)
-        seq = jnp.where((tree_a_end == 0)[:, None], seq, seq_flipped)
-        path = jnp.take_along_axis(states_lm, seq[:, :, None], 1)
+        # -- run: one segment, or R restart segments fused ------------------
+        done0 = share(any_line) | dead
+        if restarts <= 1:
+            out = run_segment(init_carry(samplers, done0, any_line))
+            path, total = recover(out)
+            solved = out["solved"]
+            iters = out["iter"]
+            sizes = out["sizes"]
+            sampler_end = out["sampler"]
+        else:
+            banks = [
+                jax.tree.map(lambda x, r=r: x[r], samplers) for r in range(restarts)
+            ]
+            solved = any_line
+            path = jnp.zeros((L, max_path, dim), jnp.float32)
+            total = jnp.zeros((L,), jnp.int32)
+            iters = jnp.zeros((L,), jnp.int32)
+            sizes = jnp.stack(
+                [jnp.ones((L,)), jnp.sum(goal_mask, axis=1).astype(jnp.float32)]
+            )
+            sampler_end = banks[-1]
+            for r in range(restarts):
+                out = run_segment(
+                    init_carry(banks[r], done0 | share(solved), jnp.zeros((L,), bool))
+                )
+                path_r, total_r = recover(out)
+                new = out["solved"] & ~solved
+                path = jnp.where(new[:, None, None], path_r, path)
+                total = jnp.where(new, total_r, total)
+                iters = iters + out["iter"]
+                sizes = jnp.where(new[None, :], out["sizes"], sizes)
+                solved = solved | out["solved"]
+                sampler_end = out["sampler"]
 
         line_goal = jnp.take_along_axis(goals, first_goal[:, None, None], 1)[:, 0]
         line_path = jnp.zeros((L, max_path, dim), jnp.float32)
@@ -742,15 +806,14 @@ def make_rrtc_turbo_batch(
         seg_mask = jnp.arange(1, max_path)[None, :] < total[:, None]
         cost = jnp.sum(jnp.where(seg_mask, deltas, 0.0), axis=1)
 
-        solved = out["solved"]
         return RRTCResult(
             path=path,
             path_length=jnp.where(solved, total, 0).astype(jnp.int32),
             cost=jnp.where(solved, cost, 0.0),
-            iterations=out["iter"],
+            iterations=iters,
             solved=solved,
-            tree_sizes=out["sizes"].T.astype(jnp.int32),
-            sampler=out["sampler"],
+            tree_sizes=sizes.T.astype(jnp.int32),
+            sampler=sampler_end,
         )
 
     return solve_batch
