@@ -25,7 +25,13 @@ def main(robot: str = "panda"):
     sys.path.insert(0, ".")
     from benchmarks.evaluate_mbm import evaluate
 
-    stats = evaluate(robot=robot, quiet=False, timed=True)
+    # nn_bf16: bf16 states-mirror NN dot (f32 norms + f32 accumulation) —
+    # round-5 lever (a); measured 548.6 -> 573.5 solves/s at success 1.000,
+    # costs unchanged (benchmarks/wave_tune.py baseline_r4+bf16). The wave
+    # schedule stays the round-4 baseline: the round-5 search (streams_up /
+    # shallow_tail / merged_tail / restart_tail / unroll=3) measured all
+    # alternatives slower (468-563).
+    stats = evaluate(robot=robot, quiet=False, timed=True, nn_bf16=True)
     solves_per_s = stats["solves_per_s"]
     out = {
         "metric": "mbm_panda_solves_per_s",

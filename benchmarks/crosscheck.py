@@ -145,7 +145,7 @@ def dump_env(lines, e):
         t = list(np.asarray(att.pos, np.float64)) + list(_mat_to_quat(att.rot))
         lines.append("T " + " ".join(repr(float(v)) for v in t))
         for c, r in zip(att.centers, att.radii):
-            cc = np.asarray(c, np.float64)
+            cc = [float(v) for v in np.asarray(c, np.float64)]
             lines.append(f"AS {cc[0]!r} {cc[1]!r} {cc[2]!r} {float(r)!r}")
 
 
@@ -248,11 +248,36 @@ def run_section(robot, n, attach=False, seed=7):
             starts.append(START)
             goals.append(GOAL)
     else:
+        import jax
+
+        from vamp_tpu.ops.fkcc import make_fkcc
+
         problems = load_problems(robot)
         picks = rng.choice(len(problems), size=n, replace=False)
         envs = [vamp.problem_dict_to_vamp(problems[pi]) for pi in picks]
         starts = [np.asarray(problems[pi]["start"], np.float32) for pi in picks]
         goals = [np.asarray(problems[pi]["goals"][0], np.float32) for pi in picks]
+        # Valid-problem filter, matching the reference harness's data['valid']
+        # skip (reference scripts/evaluate_mbm.py:71-73): a problem whose goal
+        # (or start) is itself in collision is excluded from the dataset's
+        # scoring. Without this, the planner can legally grow edges OUT OF a
+        # colliding goal node — the reference check set j/(8n), j>=1 never
+        # re-checks a tree node — and the oracle then rejects the final edge
+        # INTO it (this was every round-5 UR5 "disagreement": 7/7 had
+        # goal_free=False).
+        fkcc = jax.jit(make_fkcc(vamp.robot_module(robot).spec))
+        keep = []
+        for k in range(len(envs)):
+            pe = envs[k].pack()
+            ok = bool(fkcc(jnp.asarray(starts[k][None]), pe)[0]) and bool(
+                fkcc(jnp.asarray(goals[k][None]), pe)[0]
+            )
+            if ok:
+                keep.append(k)
+        n_invalid = len(envs) - len(keep)
+        envs = [envs[k] for k in keep]
+        starts = [starts[k] for k in keep]
+        goals = [goals[k] for k in keep]
 
     solved, paths, simp_paths = solve_problems(robot, envs, starts, goals)
 
@@ -303,6 +328,7 @@ def run_section(robot, n, attach=False, seed=7):
     ]
     return {
         "n_problems": int(n),
+        "invalid_excluded": int(0 if attach else n_invalid),
         "solved": int(solved.sum()),
         "paths_checked": len(verdicts),
         "reference_accepts": agree,

@@ -478,6 +478,16 @@ def evaluate(
         "robot": robot,
         "total": n_total,
         "n_goals_max": G_max,
+        **(
+            {
+                "pointcloud": True,
+                "samples_per_object": samples_per_object,
+                "filter_radius": filter_radius,
+                "pc_lanes": pc_lanes,
+            }
+            if pointcloud
+            else {}
+        ),
         # Reference multi-goal semantics (evaluate_mbm.py:98, rrtc.hh:90-97):
         # every goal seeds the goal tree; reported cost is to whichever goal
         # the connect reached.
@@ -505,11 +515,19 @@ if __name__ == "__main__":
     ap.add_argument("--samples_per_object", type=int, default=2048)
     ap.add_argument("--pc_lanes", type=int, default=32,
                     help="max lanes per device call in pointcloud mode")
+    ap.add_argument("--nn_bf16", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="write the stats dict (incl. per-wave data) as JSON")
     args = ap.parse_args()
     stats = evaluate(
         args.robot, args.sets, turbo=not args.parity,
         pointcloud=args.pointcloud, samples_per_object=args.samples_per_object,
-        pc_lanes=args.pc_lanes,
+        pc_lanes=args.pc_lanes, nn_bf16=args.nn_bf16,
     )
     for k, v in stats.items():
         print(f"{k}: {v}")
+    if args.out:
+        import json
+
+        Path(args.out).write_text(json.dumps(stats, indent=1, default=float))
+        print("wrote", args.out)
