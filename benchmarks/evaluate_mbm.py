@@ -163,12 +163,29 @@ def evaluate(
         from vamp_tpu.ops.capt import pad_capt
         from vamp_tpu.pointcloud import problem_dict_to_pointcloud
 
+        from dataclasses import replace as _dc_replace
+
+        def _to_host(c):
+            # raw CAPTs must live on HOST: build_capt returns device arrays,
+            # and 700 resident trees exceed HBM outright at dense sampling
+            # (e.g. samples_per_object=2048 -> max_aff 1661 -> ~40 GB; the
+            # round-5 full-suite OOM). Only the per-chunk PADDED copies are
+            # transferred, transiently, by envs_for.
+            return _dc_replace(
+                c,
+                tests=np.asarray(c.tests),
+                leaf_points=np.asarray(c.leaf_points),
+                leaf_aabb=np.asarray(c.leaf_aabb),
+                top_aabb=np.asarray(c.top_aabb),
+                point_radius=np.asarray(c.point_radius),
+            )
+
         raw_capts = []
         for p in problems:
             e, _orig, _filt, _ft, _bt = problem_dict_to_pointcloud(
                 robot, p, samples_per_object, filter_radius, True
             )
-            raw_capts.append(e.pointclouds[0])
+            raw_capts.append(_to_host(e.pointclouds[0]))
         nlog2 = max(c.nlog2 for c in raw_capts)
         max_aff = max(c.leaf_points.shape[1] for c in raw_capts)
         if not quiet:
