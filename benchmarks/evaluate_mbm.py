@@ -459,36 +459,67 @@ def evaluate(
     solve_time = time.perf_counter() - t0
 
     # -- batched simplification on all solved paths (256-lane slices) -------
+    # Non-fatal: the suite's primary result is the solve phase; a transient
+    # tunnel/remote-compile failure here must not discard a half-hour of
+    # completed device solves (round-5 full-suite pointcloud run died exactly
+    # this way in its simplify compile).
     t1 = time.perf_counter()
     sidx = np.nonzero(solved)[0]
     simp_costs = costs.copy()
-    if len(sidx):
-        Ls = pc_lanes if pointcloud else 256  # CAPT memory bounds pc lanes
-        simplify = jax.jit(
-            make_simplify_batch(
-                spec, SimplifySettings(), max_path=path_caps, chunk_states=16
+    simplify_error = None
+    simplified = np.zeros(n_total, bool)
+    try:
+        if len(sidx):
+            Ls = pc_lanes if pointcloud else 256  # CAPT memory bounds pc lanes
+            if pointcloud:
+                # size-sorted chunks at per-chunk tree maxima, like the waves
+                sidx = np.asarray(sorted(
+                    sidx,
+                    key=lambda i: (
+                        raw_capts[i].nlog2, raw_capts[i].leaf_points.shape[1]
+                    ),
+                ))
+            simplify = jax.jit(
+                make_simplify_batch(
+                    spec, SimplifySettings(), max_path=path_caps, chunk_states=16
+                )
             )
-        )
-        warmed = False
-        for off in range(0, len(sidx), Ls):
-            blk = sidx[off : off + Ls]
-            pad = np.zeros(Ls, np.int64)
-            pad[: len(blk)] = blk
-            pbuf = np.zeros((Ls, path_caps, dim), np.float32)
-            plen = np.zeros(Ls, np.int32)
-            for j, i in enumerate(blk):
-                pbuf[j, : len(paths[i])] = paths[i]
-                plen[j] = len(paths[i])
-            plen[len(blk):] = 2  # idle lanes: trivial 2-point paths
-            envs_s = envs_for(pad.tolist())
-            if timed and not warmed:
-                np.asarray(simplify(jnp.asarray(pbuf), jnp.asarray(plen), envs_s).cost)
-                warmed = True
-                t1 = time.perf_counter()  # restart the clock post-compile
-            sres = simplify(jnp.asarray(pbuf), jnp.asarray(plen), envs_s)
-            sc = np.asarray(sres.cost)
-            for j, i in enumerate(blk):
-                simp_costs[i] = sc[j]
+            warmed_s = set()
+            for off in range(0, len(sidx), Ls):
+                blk = sidx[off : off + Ls]
+                pad = np.zeros(Ls, np.int64)
+                pad[: len(blk)] = blk
+                pbuf = np.zeros((Ls, path_caps, dim), np.float32)
+                plen = np.zeros(Ls, np.int32)
+                for j, i in enumerate(blk):
+                    pbuf[j, : len(paths[i])] = paths[i]
+                    plen[j] = len(paths[i])
+                plen[len(blk):] = 2  # idle lanes: trivial 2-point paths
+                if pointcloud:
+                    n2_c = max(raw_capts[i].nlog2 for i in blk)
+                    aff_c = -(-max(
+                        raw_capts[i].leaf_points.shape[1] for i in blk
+                    ) // 64) * 64
+                    envs_s = envs_for(pad.tolist(), n2_c, aff_c)
+                    skey = (n2_c, aff_c)
+                else:
+                    envs_s = envs_for(pad.tolist())
+                    skey = ()
+                if timed and skey not in warmed_s:
+                    np.asarray(
+                        simplify(jnp.asarray(pbuf), jnp.asarray(plen), envs_s).cost
+                    )
+                    warmed_s.add(skey)
+                    if len(warmed_s) == 1:
+                        t1 = time.perf_counter()  # restart clock post-compile
+                sres = simplify(jnp.asarray(pbuf), jnp.asarray(plen), envs_s)
+                sc = np.asarray(sres.cost)
+                for j, i in enumerate(blk):
+                    simp_costs[i] = sc[j]
+                    simplified[i] = True
+    except Exception as exc:  # noqa: BLE001 - record, keep solve results
+        simplify_error = f"{type(exc).__name__}: {exc}"
+        print(f"simplify phase failed (solve results kept): {simplify_error}")
     simplify_time = time.perf_counter() - t1
 
     stats = {
@@ -518,6 +549,8 @@ def evaluate(
         "mean_iterations": float(iters[solved].mean()) if solved.any() else 0.0,
         "mean_initial_cost": float(costs[solved].mean()) if solved.any() else 0.0,
         "mean_simplified_cost": float(simp_costs[solved].mean()) if solved.any() else 0.0,
+        "simplified_coverage": float(simplified[solved].mean()) if solved.any() else 0.0,
+        **({"simplify_error": simplify_error} if simplify_error else {}),
         "waves": wave_stats,
     }
     return stats
