@@ -580,31 +580,50 @@ def make_shortcut_dp_batch(
             axis=1,
         )  # pred[j] = j-1 (and 0 for node 0)
 
-        def sweep(_, c):
-            d, pred = c
+        # UNROLLED python loop, not lax.fori/while: on the axon relay a
+        # loop of tiny-op iterations costs ~2-5 ms PER ITERATION (measured;
+        # only big-body loops like the planner step amortize it), while
+        # unrolled top-level ops cost ~0.3 ms each. relax_sweeps bounds the
+        # hop count of the found path; the chain seed keeps any result valid.
+        for _ in range(relax_sweeps):
             cand = d[:, :, None] + W  # (L, M src, M dst)
             best = jnp.min(cand, axis=1)
             arg = jnp.argmin(cand, axis=1).astype(jnp.int32)
             better = best < d - 1e-7
-            return jnp.where(better, best, d), jnp.where(better, arg, pred)
+            d = jnp.where(better, best, d)
+            pred = jnp.where(better, arg, pred)
 
-        d, pred = lax.fori_loop(0, relax_sweeps, sweep, (d, pred))
+        # -- 4. path extraction by pointer doubling (no sequential walk) ----
+        # depth[j] = #pred-steps from node j to node 0 (pred[0] = 0
+        # self-loop); then the t-th ancestor of the endpoint for every t at
+        # once via binary-composed ancestor tables — log2(M) unrolled
+        # phases instead of an M-step walk.
+        kbits = max(1, (M - 1).bit_length())
+        # d_k[j] after k doubling rounds = min(depth(j), 2^k): d[0] = 0 stops
+        # the accumulation once a jump reaches the root.
+        dk = jnp.where(jnp.arange(M)[None, :] == 0, 0, 1).astype(jnp.int32)
+        dk = jnp.broadcast_to(dk, (L, M))
+        ancs = [pred]  # ancs[k][l, j] = 2^k-th ancestor of j
+        A = pred
+        for _ in range(kbits - 1):
+            dk = dk + jnp.take_along_axis(dk, A, 1)
+            A = jnp.take_along_axis(A, A, 1)
+            ancs.append(A)
+        dk = dk + jnp.take_along_axis(dk, A, 1)  # cover depth up to 2^kbits
+        n_hops = jnp.take_along_axis(dk, jnp.full((L, 1), M - 1, jnp.int32), 1)[
+            :, 0
+        ] + 1  # nodes on the chain incl. both endpoints
 
-        # -- 4. predecessor walk from the endpoint node ---------------------
-        def wstep(k, c):
-            seq, cur, n = c
-            seq = seq.at[:, k].set(cur)
-            nxt = jnp.take_along_axis(pred, cur[:, None], 1)[:, 0]
-            n = jnp.where(cur > 0, n + 1, n)
-            return seq, nxt, n
-
-        seq0 = jnp.zeros((L, M), jnp.int32)
-        cur0 = jnp.full((L,), M - 1, jnp.int32)
-        seq, _, n_hops = lax.fori_loop(0, M, wstep, (seq0, cur0, jnp.ones((L,), jnp.int32)))
-        # seq holds node ids endpoint-first; reverse into waypoint order
+        # seq_end_first[t] = t-th ancestor of the endpoint node
+        t = jnp.arange(M)[None, :]  # (1, M)
+        cur = jnp.full((L, M), M - 1, jnp.int32)
+        for k in range(kbits):
+            hop = jnp.take_along_axis(ancs[k], cur, 1)
+            cur = jnp.where((t >> k) & 1 == 1, hop, cur)
+        # reverse into waypoint order
         pos = jnp.arange(M)[None, :]
         rev = jnp.clip(n_hops[:, None] - 1 - pos, 0, M - 1)
-        seq_fwd = jnp.take_along_axis(seq, rev, 1)  # (L, M) node ids, start-first
+        seq_fwd = jnp.take_along_axis(cur, rev, 1)  # (L, M) node ids, start-first
         wp = jnp.take_along_axis(node_idx, seq_fwd, 1)  # waypoint indices
         new_path = jnp.zeros_like(paths)
         new_path = lax.dynamic_update_slice(
