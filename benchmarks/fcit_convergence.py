@@ -267,7 +267,9 @@ def main():
             f"vs rrtc+simplify {res['mean_rrtc_simplified']} "
             f"(fcit<=simplified on {res['fcit_beats_simplified_frac']})"
         )
-    path.write_text(json.dumps(out, indent=1))
+        # write after EVERY robot: a wall-clock or tunnel cut must not
+        # discard completed robots (the chunks already cost an hour each)
+        path.write_text(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":
