@@ -62,17 +62,24 @@ def main():
     picks = rng.choice(len(problems), size=args.n, replace=False)
 
     # -- relay floor: warm x+1 round trip ----------------------------------
+    # The tunnel has high-variance periods (measured floors 25-65 ms within
+    # one session); the floor is re-measured around every mode and each
+    # mode's local floor is recorded so numbers are interpretable, and a
+    # mode whose floor is badly degraded is re-run once.
     bump = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros((8,))
-    np.asarray(bump(x))
-    floors = []
-    for k in range(5):
-        xk = jnp.full((8,), float(k))
-        np.asarray(xk[:1])
-        t0 = time.perf_counter()
-        np.asarray(bump(xk))
-        floors.append(time.perf_counter() - t0)
-    floor_us = float(np.median(floors) * 1e6)
+    np.asarray(bump(jnp.zeros((8,))))
+
+    def measure_floor():
+        floors = []
+        for k in range(5):
+            xk = jnp.full((8,), float(k))
+            np.asarray(xk[:1])
+            t0 = time.perf_counter()
+            np.asarray(bump(xk))
+            floors.append(time.perf_counter() - t0)
+        return float(np.median(floors) * 1e6)
+
+    floor_us = measure_floor()
 
     settings = RRTCSettings(range=1.0, max_iterations=512, max_samples=1408)
     from vamp_tpu.env import max_class_counts
@@ -138,7 +145,17 @@ def main():
         (8, True, True),
         (32, True, True),
     ):
+        local_floor = measure_floor()
         lat, solved = run_mode(L, fused, lite)
+        post_floor = measure_floor()
+        if max(local_floor, post_floor) > 1.6 * floor_us:
+            # degraded tunnel period: wait and re-run this mode once
+            print(f"  (degraded relay: floors {local_floor/1e3:.1f}/"
+                  f"{post_floor/1e3:.1f} ms vs {floor_us/1e3:.1f}; retrying)")
+            time.sleep(60)
+            local_floor = measure_floor()
+            lat, solved = run_mode(L, fused, lite)
+            post_floor = measure_floor()
         key = f"L{L}_fused_lite" if lite else (f"L{L}_fused" if fused else f"L{L}")
         out[key] = {
             "median_us": round(float(np.median(lat)), 1),
@@ -147,6 +164,7 @@ def main():
             "solved": int(solved),
             "n": int(args.n),
             "includes_simplify": bool(fused),
+            "local_floor_us": round(min(local_floor, post_floor), 1),
             **({"simplify_pipeline": "shortcut_dp_lite"} if lite else {}),
         }
         print(

@@ -857,8 +857,13 @@ def make_rrtc_simplify_batch(
         line_check=line_check, nn_bf16=nn_bf16,
     )
     if lite:
+        # nodes=24 covers every observed MBM path (solve paths are ~6-14
+        # waypoints; longer ones fall back safely), and 64-state validation
+        # chunks quarter the serialized chunk count vs 16 (measured faster
+        # on the relay: fewer, bigger phases).
         simplify = make_shortcut_dp_batch(
-            spec, max_path=max_path, chunk_states=chunk_states
+            spec, max_path=max_path, nodes=24,
+            chunk_states=max(chunk_states, 64),
         )
     else:
         simplify = make_simplify_batch(
