@@ -12,10 +12,15 @@ for TPU:
   makes CAPT TPU-amenable, SURVEY §2.2).
 
 - QUERY (device, batch-minor): all query spheres descend the implicit tree in
-  lockstep — nlog2 rounds of `idx = 2*idx + 1 + (c >= tests[idx])` with the
-  split dimension cycling x,y,z (capt.hh:457-541) — then one fixed-size
+  lockstep (capt.hh:457-541's `idx = 2*idx + 1 + (c >= tests[idx])` with the
+  split dimension cycling x,y,z) — re-grouped into 3-LEVEL SUPERNODES: the
+  host packs each supernode's 7 tests into one contiguous 8-float row
+  (`supertests`), so three binary levels cost ONE row gather + elementwise
+  selects instead of three serialized 4-byte element gathers (small-element
+  gathers are the device's pathological path — the round-4 affordance-scan
+  finding; this cuts nlog2=13 descent phases to 5). Then one fixed-size
   gather of the leaf's affordance points and a mask-reduce. No pointer
-  chasing; per-level work is one gather + one compare over the whole batch.
+  chasing.
 
 Queries must use radii within [r_min, r_max] (same contract as the
 reference). Collision iff any tree point lies within r + r_point.
@@ -49,7 +54,37 @@ class CAPT:
     leaf_aabb: jnp.ndarray  # (n_leaves, 2, 3) lower/upper
     top_aabb: jnp.ndarray  # (2, 3)
     point_radius: jnp.ndarray  # () f32
+    # 3-level supernode rows: ((8^(k//3) - 1)/7, 8) — row (s, m) holds the 7
+    # tests of the supernode rooted at binary level 3s, local index m, in
+    # [root, left, right, ll, lr, rl, rr, FAR] order (module docstring).
+    supertests: jnp.ndarray = None
     nlog2: int = field(metadata=dict(static=True), default=0)  # descent depth
+
+
+def _super_tests(tests: np.ndarray, nlog2: int) -> np.ndarray:
+    """Host-side repack of the heap-ordered binary test array into 3-level
+    supernode rows (one contiguous 8-float row per supernode)."""
+    tests = np.asarray(tests)
+    S = nlog2 // 3
+    n_rows = (8**S - 1) // 7 if S else 0
+    out = np.full((max(n_rows, 1), 8), FAR, np.float32)
+    T = lambda lvl, j: tests[(1 << lvl) - 1 + j]
+    off = 0
+    for s in range(S):
+        m = np.arange(8**s)
+        rows = np.stack(
+            [
+                T(3 * s, m),
+                T(3 * s + 1, 2 * m), T(3 * s + 1, 2 * m + 1),
+                T(3 * s + 2, 4 * m), T(3 * s + 2, 4 * m + 1),
+                T(3 * s + 2, 4 * m + 2), T(3 * s + 2, 4 * m + 3),
+                np.full(len(m), FAR, np.float32),
+            ],
+            axis=1,
+        )
+        out[off : off + len(m)] = rows
+        off += len(m)
+    return out
 
 
 def build_capt(points: np.ndarray, r_min: float, r_max: float, point_radius: float) -> CAPT:
@@ -71,6 +106,7 @@ def build_capt(points: np.ndarray, r_min: float, r_max: float, point_radius: flo
             leaf_aabb=jnp.asarray(leaf_aabb_n),
             top_aabb=jnp.asarray(np.stack([points.min(axis=0), points.max(axis=0)])),
             point_radius=jnp.float32(point_radius),
+            supertests=jnp.asarray(_super_tests(tests_n, int(nlog2_n))),
             nlog2=int(nlog2_n),
         )
 
@@ -158,12 +194,14 @@ def build_capt(points: np.ndarray, r_min: float, r_max: float, point_radius: flo
     top_lo = finite.min(axis=0)
     top_hi = finite.max(axis=0)
 
+    tests_f = np.where(np.isfinite(tests), tests, FAR)
     return CAPT(
-        tests=jnp.asarray(np.where(np.isfinite(tests), tests, FAR)),
+        tests=jnp.asarray(tests_f),
         leaf_points=jnp.asarray(leaf_points),
         leaf_aabb=jnp.asarray(leaf_aabbs),
         top_aabb=jnp.asarray(np.stack([top_lo, top_hi])),
         point_radius=jnp.float32(point_radius),
+        supertests=jnp.asarray(_super_tests(tests_f, nlog2)),
         nlog2=nlog2,
     )
 
@@ -195,6 +233,7 @@ def pad_capt(capt: CAPT, nlog2: int, max_aff: int) -> CAPT:
         leaf_aabb=jnp.asarray(leaf_aabb),
         top_aabb=capt.top_aabb,
         point_radius=capt.point_radius,
+        supertests=jnp.asarray(_super_tests(tests, nlog2)),
         nlog2=nlog2,
     )
 
@@ -247,8 +286,39 @@ def capt_collides_bm(capt: CAPT, xs, ys, zs, radii_col):
         lin = lane_of(node_idx) * n + node_idx
         return jnp.take(flat, lin, axis=0)
 
-    idx = jnp.zeros(xs.shape, jnp.int32)
-    for level in range(capt.nlog2):
+    # Supernode descent: one contiguous 8-float row gather per THREE binary
+    # levels (module docstring; row layout from _super_tests). m is the
+    # binary-local index at level 3s.
+    n_super = capt.nlog2 // 3
+
+    def row_take(node_idx):
+        # supertests (L, R, 8) batched or (R, 8); node_idx (S, *batch)
+        if not batched:
+            return jnp.take(capt.supertests, node_idx, axis=0)
+        R = capt.supertests.shape[1]
+        flat = capt.supertests.reshape(capt.supertests.shape[0] * R, 8)
+        lin = lane_of(node_idx) * R + node_idx
+        return jnp.take(flat, lin, axis=0)
+
+    m = jnp.zeros(xs.shape, jnp.int32)
+    off = 0
+    for s in range(n_super):
+        row = row_take(off + m)  # (S, *batch, 8)
+        b0 = (coords[0] >= row[..., 0]).astype(jnp.int32)
+        t1 = jnp.where(b0 == 1, row[..., 2], row[..., 1])
+        b1 = (coords[1] >= t1).astype(jnp.int32)
+        t2 = jnp.where(
+            b0 == 1,
+            jnp.where(b1 == 1, row[..., 6], row[..., 5]),
+            jnp.where(b1 == 1, row[..., 4], row[..., 3]),
+        )
+        b2 = (coords[2] >= t2).astype(jnp.int32)
+        m = 8 * m + 4 * b0 + 2 * b1 + b2
+        off += 8**s
+
+    # tail levels (nlog2 % 3): classic per-level element gathers
+    idx = ((1 << (3 * n_super)) - 1) + m
+    for level in range(3 * n_super, capt.nlog2):
         k = level % 3
         t = table_take(capt.tests, idx)
         idx = 2 * idx + 1 + (coords[k] >= t).astype(jnp.int32)
